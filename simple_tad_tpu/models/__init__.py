@@ -1,0 +1,74 @@
+"""Model registry — names mirror the reference timm registry so job configs
+translate 1:1 (/root/reference/modeling_finetune.py:338-398,
+modeling_pretrain.py:293-387)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+
+# (embed_dim, depth, num_heads) per trunk size
+_VIT_SIZES = {
+    "small": (384, 12, 6),
+    "base": (768, 12, 12),
+    "large": (1024, 24, 16),
+    "huge": (1280, 32, 16),
+}
+
+# MAE decoder geometry per trunk size (modeling_pretrain.py:293-387):
+# (decoder_embed_dim, decoder_num_heads)
+_MAE_DECODER = {
+    "small": (192, 3),
+    "base": (384, 6),
+    "large": (512, 8),
+    "huge": (640, 8),
+}
+
+_REGISTRY: Dict[str, Any] = {}
+
+
+def _register_vit():
+    for size, (dim, depth, heads) in _VIT_SIZES.items():
+        for img in (224, 384, 512):
+            name = f"vit_{size}_patch16_{img}"
+            _REGISTRY[name] = ("vit", dict(
+                img_size=img, patch_size=16, embed_dim=dim, depth=depth,
+                num_heads=heads, mlp_ratio=4.0, qkv_bias=True))
+    for size, (dim, depth, heads) in _VIT_SIZES.items():
+        name = f"pretrain_videomae_{size}_patch16_224"
+        ddim, dheads = _MAE_DECODER[size]
+        _REGISTRY[name] = ("mae", dict(
+            img_size=224, patch_size=16, encoder_embed_dim=dim,
+            encoder_depth=depth, encoder_num_heads=heads,
+            decoder_embed_dim=ddim, decoder_num_heads=dheads,
+            decoder_num_classes=1536, mlp_ratio=4.0, qkv_bias=True))
+
+
+_register_vit()
+
+
+def list_models():
+    return sorted(_REGISTRY)
+
+
+def create_model(name: str, **overrides):
+    """Build a model by registry name.  Extra kwargs override config fields.
+
+    Returns a flax Module.  ``create_model('vit_base_patch16_224',
+    num_classes=2, dtype=jnp.bfloat16)``.
+    """
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; known: {list_models()}")
+    kind, base = _REGISTRY[name]
+    kw = dict(base)
+    kw.update(overrides)
+    if kind == "vit":
+        return VisionTransformer(ViTConfig(**kw))
+    if kind == "mae":
+        from simple_tad_tpu.models.mae import MAEConfig, PretrainVideoMAE
+        return PretrainVideoMAE(MAEConfig(**kw))
+    raise KeyError(kind)

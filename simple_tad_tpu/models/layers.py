@@ -1,0 +1,269 @@
+"""Transformer building blocks for the video ViT family.
+
+Behavioral reference: /root/reference/modeling_finetune.py (Attention at :57,
+Block at :137, Mlp at :37, PatchEmbed at :169, get_sinusoid_encoding_table at
+:195).  The design here is TPU-first, not a translation:
+
+  * PatchEmbed is a reshape + single MXU matmul instead of a Conv3d — the
+    tubelet conv has stride == kernel, so it is exactly a non-overlapping
+    patch projection.
+  * Attention keeps the reference's packed-QKV parameterization (one bias-free
+    qkv kernel + separate q/v biases with an implicit zero k bias) so released
+    checkpoints load bit-exact, but dispatches to a Pallas flash kernel or
+    XLA fused attention (see simple_tad_tpu/ops/attention.py).
+  * LayerNorm statistics and softmax always accumulate in float32 so bf16
+    activations are safe on TPU.
+  * Blocks are scanned (lax.scan over stacked params) by the parent model for
+    fast compiles; per-layer drop-path rates ride along as scanned inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_tad_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+def sincos_pos_embed(n_position: int, dim: int) -> np.ndarray:
+    """Fixed sinusoidal position table, float64 math then float32.
+
+    Matches reference get_sinusoid_encoding_table
+    (/root/reference/modeling_finetune.py:195-205): angle(pos, j) =
+    pos / 10000^(2*(j//2)/dim); even dims take sin, odd dims take cos.
+    Returned shape (1, n_position, dim).  This is a *buffer*, never a param —
+    checkpoint loading regenerates it rather than restoring it.
+    """
+    pos = np.arange(n_position, dtype=np.float64)[:, None]          # (N, 1)
+    j = np.arange(dim, dtype=np.float64)[None, :]                   # (1, D)
+    angle = pos / np.power(10000.0, 2.0 * np.floor(j / 2.0) / dim)  # (N, D)
+    table = np.empty((n_position, dim), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table[None].astype(np.float32)
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm-style truncated normal in [-2std, 2std]."""
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return init
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm with float32 statistics; output cast back to ``dtype``.
+
+    eps matches the reference registry configs (1e-6,
+    /root/reference/modeling_finetune.py:342).
+    """
+
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def drop_path(x, rate, deterministic: bool, rng=None):
+    """Stochastic depth on the residual branch (per-sample).
+
+    Matches timm drop_path semantics used by the reference
+    (/root/reference/modeling_finetune.py:23-31): keep with prob 1-rate and
+    scale kept activations by 1/(1-rate).
+    """
+    if deterministic:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape).astype(x.dtype)
+    return x * mask / jnp.asarray(keep, x.dtype)
+
+
+class Mlp(nn.Module):
+    """fc1 -> exact GELU -> fc2 -> dropout (reference Mlp, modeling_finetune.py:37-54).
+
+    GELU must be the exact erf form (torch nn.GELU default), not tanh approx.
+    """
+
+    dim: int
+    hidden_dim: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02),
+                     bias_init=nn.initializers.zeros, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02),
+                     bias_init=nn.initializers.zeros, name="fc2")(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Packed-QKV multi-head attention.
+
+    Parameterization mirrors the reference exactly so checkpoints load
+    bit-exact (/root/reference/modeling_finetune.py:57-134): one bias-free
+    qkv kernel of shape (dim, 3*all_head_dim) plus separate ``q_bias`` and
+    ``v_bias`` vectors; the k bias is implicitly zero.  Compute dispatches to
+    a fused attention implementation (Pallas flash / XLA) chosen by
+    ``attn_impl``.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    attn_head_dim: Optional[int] = None
+    attn_impl: str = "auto"   # auto | naive | xla | pallas
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.attn_head_dim or C // self.num_heads
+        all_head_dim = head_dim * self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv_kernel = self.param("qkv_kernel", trunc_normal_init(0.02),
+                                (C, 3 * all_head_dim))
+        qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
+                      preferred_element_type=self.dtype)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+            bias = jnp.concatenate(
+                [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(self.dtype)
+            qkv = qkv + bias
+
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
+
+        dropout_rng = None
+        if self.attn_drop > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        out = dot_product_attention(
+            q, k, v, scale=scale, impl=self.attn_impl,
+            dropout_rate=self.attn_drop, dropout_rng=dropout_rng,
+            deterministic=deterministic)
+        out = out.reshape(B, N, all_head_dim)
+
+        out = nn.Dense(self.dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02),
+                       bias_init=nn.initializers.zeros, name="proj")(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block with optional LayerScale and DropPath.
+
+    x = x + DropPath(gamma_1 * Attn(LN1(x)));  x = x + DropPath(gamma_2 * MLP(LN2(x)))
+    (/root/reference/modeling_finetune.py:137-166).  ``drop_path_rate`` is a
+    per-layer (possibly traced) scalar so blocks can be scanned.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    init_values: float = 0.0       # 0 => LayerScale disabled
+    attn_head_dim: Optional[int] = None
+    attn_impl: str = "auto"
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True):
+        use_dp = not deterministic
+        attn_out = Attention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+            proj_drop=self.drop, attn_head_dim=self.attn_head_dim,
+            attn_impl=self.attn_impl, dtype=self.dtype, name="attn")(
+                LayerNormFp32(self.dim, self.norm_eps, self.dtype,
+                              name="norm1")(x),
+                deterministic=deterministic)
+        if self.init_values > 0:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values), (self.dim,))
+            attn_out = attn_out * gamma_1.astype(self.dtype)
+        if use_dp:
+            attn_out = drop_path(attn_out, drop_path_rate, deterministic,
+                                 self.make_rng("droppath"))
+        x = x + attn_out
+
+        mlp_out = Mlp(self.dim, int(self.dim * self.mlp_ratio), drop=self.drop,
+                      dtype=self.dtype, name="mlp")(
+            LayerNormFp32(self.dim, self.norm_eps, self.dtype, name="norm2")(x),
+            deterministic=deterministic)
+        if self.init_values > 0:
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values), (self.dim,))
+            mlp_out = mlp_out * gamma_2.astype(self.dtype)
+        if use_dp:
+            mlp_out = drop_path(mlp_out, drop_path_rate, deterministic,
+                                self.make_rng("droppath"))
+        return x + mlp_out
+
+
+class PatchEmbed(nn.Module):
+    """Tubelet patch embedding as reshape + one MXU matmul.
+
+    Equivalent to the reference Conv3d with kernel == stride ==
+    (tubelet, patch, patch) (/root/reference/modeling_finetune.py:169-191):
+    every non-overlapping (t=2, 16, 16) tubelet is flattened in (t, h, w, c)
+    order and projected by a (t*p*p*c, embed_dim) kernel.  Input is
+    channels-last video (B, T, H, W, C); output (B, num_tokens, D) with
+    tokens ordered (t-slot, h-patch, w-patch) — identical to the conv's
+    flatten(2).transpose(1, 2).
+    """
+
+    embed_dim: int
+    patch_size: int = 16
+    tubelet_size: int = 2
+    in_chans: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        p, tb = self.patch_size, self.tubelet_size
+        nt, nh, nw = T // tb, H // p, W // p
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (tb * p * p * self.in_chans, self.embed_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        # (B,T,H,W,C) -> (B, nt, tb, nh, p, nw, p, C) -> (B, nt, nh, nw, tb, p, p, C)
+        x = x.reshape(B, nt, tb, nh, p, nw, p, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(B, nt * nh * nw, tb * p * p * C).astype(self.dtype)
+        return jnp.dot(x, kernel.astype(self.dtype),
+                       preferred_element_type=self.dtype) + bias.astype(self.dtype)

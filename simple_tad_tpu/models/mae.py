@@ -1,0 +1,239 @@
+"""Asymmetric encoder-decoder VideoMAE for masked-video-modeling pre-training.
+
+Behavioral reference: /root/reference/modeling_pretrain.py
+(PretrainVisionTransformerEncoder :26, Decoder :115, full model :182) and the
+per-patch-normalized MSE target construction in
+/root/reference/engine_for_pretraining.py:51-71.
+
+TPU-first notes:
+  * The boolean tube mask always masks the same count per sample
+    (masking_generator.py:17-24), so the visible/masked gathers are
+    static-shaped: a stable argsort of the mask yields visible indices first,
+    preserving the reference's ``x[~mask]`` ordering.
+  * Encoder and decoder blocks are scanned; everything jits to a single
+    static-shape program.
+  * Targets are computed channels-last: the reference target layout
+    '(p0 p1 p2) c' (engine_for_pretraining.py:58) is exactly the natural
+    flatten of (B, T, H, W, C) video, so the decoder head's 1536-dim output
+    ordering matches released checkpoints with no permutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simple_tad_tpu.models.layers import (
+    Block, LayerNormFp32, PatchEmbed, sincos_pos_embed, trunc_normal_init)
+
+
+@dataclasses.dataclass(frozen=True)
+class MAEConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    encoder_embed_dim: int = 768
+    encoder_depth: int = 12
+    encoder_num_heads: int = 12
+    decoder_num_classes: int = 1536   # 3 * tubelet * patch^2
+    decoder_embed_dim: int = 384
+    decoder_depth: int = 4            # jobs use 4 (jobs/dapt/*.sh)
+    decoder_num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: float = 0.0
+    use_learnable_pos_emb: bool = False
+    all_frames: int = 16
+    tubelet_size: int = 2
+    attn_impl: str = "auto"
+    dtype: Any = jnp.float32
+    scan_blocks: bool = True
+    remat: bool = False
+
+    def __post_init__(self):
+        assert self.decoder_num_classes == (
+            self.in_chans * self.tubelet_size * self.patch_size ** 2)
+
+    @property
+    def num_patches(self) -> int:
+        return ((self.img_size // self.patch_size) ** 2
+                * (self.all_frames // self.tubelet_size))
+
+
+def mask_partition(mask: jnp.ndarray, num_masked: int):
+    """Split token indices into (visible, masked), preserving token order.
+
+    mask: (B, N) bool, True = masked; every row has exactly ``num_masked``
+    Trues (tube masking guarantees this).  Returns (vis_idx, mask_idx) of
+    shapes (B, N - num_masked) and (B, num_masked).  A stable argsort of the
+    boolean mask puts False (visible) first in original order — identical to
+    the reference's boolean indexing x[~mask] / pos[mask]
+    (modeling_pretrain.py:98, :286-287).
+    """
+    order = jnp.argsort(mask.astype(jnp.int32), axis=1, stable=True)
+    n_vis = mask.shape[1] - num_masked
+    return order[:, :n_vis], order[:, n_vis:]
+
+
+def _gather_tokens(x, idx):
+    """x: (B, N, C), idx: (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+class _BlockStack(nn.Module):
+    """Scanned stack of transformer blocks + final LN."""
+    dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    drop: float
+    attn_drop: float
+    drop_path_rate: float
+    init_values: float
+    attn_impl: str
+    dtype: Any
+    scan_blocks: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dpr = jnp.linspace(0.0, self.drop_path_rate, self.depth)
+        block = Block(
+            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale, drop=self.drop,
+            attn_drop=self.attn_drop, init_values=self.init_values,
+            attn_impl=self.attn_impl, dtype=self.dtype, name="blocks")
+
+        def body(blk, carry, rate):
+            return blk(carry, rate, deterministic), None
+
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
+        if self.scan_blocks:
+            scan = nn.scan(
+                body, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                in_axes=0, length=self.depth)
+            x, _ = scan(block, x, dpr)
+        else:
+            for i in range(self.depth):
+                x = Block(
+                    dim=self.dim, num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, drop=self.drop,
+                    attn_drop=self.attn_drop, init_values=self.init_values,
+                    attn_impl=self.attn_impl, dtype=self.dtype,
+                    name=f"blocks_{i}")(x, dpr[i], deterministic)
+        return LayerNormFp32(self.dim, dtype=self.dtype, name="norm")(x)
+
+
+class PretrainVideoMAE(nn.Module):
+    cfg: MAEConfig
+
+    @nn.compact
+    def __call__(self, x, mask, num_masked: int, deterministic: bool = True):
+        """x: (B, T, H, W, C) normalized video; mask: (B, N) bool (True=masked);
+        num_masked: static per-sample masked-token count.
+        Returns (B, num_masked, decoder_num_classes) pixel predictions for the
+        masked tokens, in mask order.
+        """
+        cfg = self.cfg
+        B = x.shape[0]
+        vis_idx, mask_idx = mask_partition(mask, num_masked)
+
+        # ----- encoder on visible tokens only (modeling_pretrain.py:91-108)
+        tokens = PatchEmbed(
+            embed_dim=cfg.encoder_embed_dim, patch_size=cfg.patch_size,
+            tubelet_size=cfg.tubelet_size, in_chans=cfg.in_chans,
+            dtype=cfg.dtype, name="encoder_patch_embed")(x)
+        if cfg.use_learnable_pos_emb:
+            enc_pos = self.param(
+                "encoder_pos_embed", trunc_normal_init(0.02),
+                (1, cfg.num_patches, cfg.encoder_embed_dim))
+            enc_pos = enc_pos.astype(cfg.dtype)
+        else:
+            enc_pos = jnp.asarray(
+                sincos_pos_embed(cfg.num_patches, cfg.encoder_embed_dim),
+                cfg.dtype)
+        tokens = tokens + enc_pos
+        x_vis = _gather_tokens(tokens, vis_idx)
+
+        x_vis = _BlockStack(
+            dim=cfg.encoder_embed_dim, depth=cfg.encoder_depth,
+            num_heads=cfg.encoder_num_heads, mlp_ratio=cfg.mlp_ratio,
+            qkv_bias=cfg.qkv_bias, qk_scale=cfg.qk_scale,
+            drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+            drop_path_rate=cfg.drop_path_rate, init_values=cfg.init_values,
+            attn_impl=cfg.attn_impl, dtype=cfg.dtype,
+            scan_blocks=cfg.scan_blocks, remat=cfg.remat,
+            name="encoder")(x_vis, deterministic)
+
+        # ----- encoder -> decoder projection (bias-free Linear, :253)
+        x_vis = nn.Dense(cfg.decoder_embed_dim, use_bias=False,
+                         dtype=cfg.dtype,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         name="encoder_to_decoder")(x_vis)
+
+        # ----- assemble full sequence: [vis + pos_vis, mask_tok + pos_mask]
+        dec_pos = jnp.asarray(
+            sincos_pos_embed(cfg.num_patches, cfg.decoder_embed_dim),
+            cfg.dtype)
+        dec_pos = jnp.broadcast_to(
+            dec_pos, (B, cfg.num_patches, cfg.decoder_embed_dim))
+        pos_vis = _gather_tokens(dec_pos, vis_idx)
+        pos_mask = _gather_tokens(dec_pos, mask_idx)
+        mask_token = self.param("mask_token", trunc_normal_init(0.02),
+                                (1, 1, cfg.decoder_embed_dim))
+        full = jnp.concatenate(
+            [x_vis + pos_vis,
+             mask_token.astype(cfg.dtype) + pos_mask], axis=1)
+
+        # ----- decoder + head on the trailing masked tokens (:167-180)
+        full = _BlockStack(
+            dim=cfg.decoder_embed_dim, depth=cfg.decoder_depth,
+            num_heads=cfg.decoder_num_heads, mlp_ratio=cfg.mlp_ratio,
+            qkv_bias=cfg.qkv_bias, qk_scale=cfg.qk_scale,
+            drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+            drop_path_rate=cfg.drop_path_rate, init_values=cfg.init_values,
+            attn_impl=cfg.attn_impl, dtype=cfg.dtype,
+            scan_blocks=cfg.scan_blocks, remat=cfg.remat,
+            name="decoder")(full, deterministic)
+        masked_feats = full[:, -num_masked:]
+        pred = nn.Dense(cfg.decoder_num_classes, dtype=jnp.float32,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="decoder_head")(masked_feats.astype(jnp.float32))
+        return pred
+
+
+def mae_targets(unnorm_video, mask, num_masked: int, *, patch_size: int = 16,
+                tubelet_size: int = 2, normalize_target: bool = True):
+    """Per-patch(-normalized) pixel targets for the masked tokens.
+
+    unnorm_video: (B, T, H, W, C) in [0, 1] (already de-normalized).
+    Matches engine_for_pretraining.py:51-67: layout '(p0 p1 p2) c', mean/var
+    over the pixel axis with unbiased variance, eps 1e-6 on the std.
+    """
+    B, T, H, W, C = unnorm_video.shape
+    p, tb = patch_size, tubelet_size
+    nt, nh, nw = T // tb, H // p, W // p
+    v = unnorm_video.reshape(B, nt, tb, nh, p, nw, p, C)
+    v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)          # (B, nt, nh, nw, tb, p, p, C)
+    v = v.reshape(B, nt * nh * nw, tb * p * p, C).astype(jnp.float32)
+    if normalize_target:
+        mean = jnp.mean(v, axis=2, keepdims=True)
+        n = v.shape[2]
+        var = jnp.sum(jnp.square(v - mean), axis=2, keepdims=True) / (n - 1)
+        v = (v - mean) / (jnp.sqrt(var) + 1e-6)
+    patches = v.reshape(B, nt * nh * nw, tb * p * p * C)
+    _, mask_idx = mask_partition(mask, num_masked)
+    return _gather_tokens(patches, mask_idx)

@@ -1,0 +1,158 @@
+"""VideoMAE-style Video Vision Transformer (fine-tuning / inference trunk).
+
+Behavioral reference: VisionTransformer in
+/root/reference/modeling_finetune.py:208-335 and the size registry at
+:338-398.  TPU-first design choices:
+
+  * channels-last video input (B, T, H, W, C),
+  * blocks are lax.scan-ned over stacked params (one compiled block body
+    regardless of depth; optional remat for gradient checkpointing, the
+    equivalent of the reference's --use_checkpoint),
+  * fixed sincos pos-embed is a trace-time constant (never a parameter),
+  * bf16 compute / fp32 params by default on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_tad_tpu.models.layers import (
+    Block, LayerNormFp32, PatchEmbed, sincos_pos_embed, trunc_normal_init)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Mirrors the reference constructor args (modeling_finetune.py:211-234)."""
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 2
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    fc_drop_rate: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: float = 0.0
+    use_learnable_pos_emb: bool = False
+    init_scale: float = 0.001
+    all_frames: int = 16
+    tubelet_size: int = 2
+    final_reduction: str = "fc_norm"   # fc_norm | cls | none
+    attn_impl: str = "auto"
+    dtype: Any = jnp.float32
+    scan_blocks: bool = True
+    remat: bool = False
+
+    @property
+    def num_patches(self) -> int:
+        return ((self.img_size // self.patch_size) ** 2
+                * (self.all_frames // self.tubelet_size))
+
+
+class VisionTransformer(nn.Module):
+    cfg: ViTConfig
+
+    def _blocks(self, x, deterministic: bool):
+        cfg = self.cfg
+        dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        block = Block(
+            dim=cfg.embed_dim, num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+            qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
+            attn_drop=cfg.attn_drop_rate, init_values=cfg.init_values,
+            attn_impl=cfg.attn_impl, dtype=cfg.dtype, name="blocks")
+
+        def body(blk, carry, rate):
+            return blk(carry, rate, deterministic), None
+
+        if cfg.remat:
+            body = nn.remat(body, prevent_cse=False)
+        if cfg.scan_blocks:
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                in_axes=0, length=cfg.depth)
+            x, _ = scan(block, x, dpr)
+            return x
+        # Unrolled fallback (same stacked param layout is NOT kept here;
+        # used only for debugging small models).
+        for i in range(cfg.depth):
+            blk_i = Block(
+                dim=cfg.embed_dim, num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate, init_values=cfg.init_values,
+                attn_impl=cfg.attn_impl, dtype=cfg.dtype, name=f"blocks_{i}")
+            x = blk_i(x, dpr[i], deterministic)
+        return x
+
+    def _forward_features(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        tokens = PatchEmbed(
+            embed_dim=cfg.embed_dim, patch_size=cfg.patch_size,
+            tubelet_size=cfg.tubelet_size, in_chans=cfg.in_chans,
+            dtype=cfg.dtype, name="patch_embed")(x)
+
+        if cfg.use_learnable_pos_emb:
+            pos = self.param("pos_embed", trunc_normal_init(0.02),
+                             (1, cfg.num_patches, cfg.embed_dim))
+            tokens = tokens + pos.astype(cfg.dtype)
+        else:
+            pos = sincos_pos_embed(cfg.num_patches, cfg.embed_dim)
+            tokens = tokens + jnp.asarray(pos, cfg.dtype)
+        if cfg.drop_rate > 0.0:
+            tokens = nn.Dropout(cfg.drop_rate)(tokens,
+                                               deterministic=deterministic)
+
+        tokens = self._blocks(tokens, deterministic)
+
+        # final_reduction semantics (modeling_finetune.py:267-272, 323-330):
+        # fc_norm  -> norm is Identity, LN applied after mean-pool
+        # cls/none -> LN applied to the token sequence
+        if cfg.final_reduction == "fc_norm":
+            pooled = jnp.mean(tokens, axis=1)
+            return LayerNormFp32(cfg.embed_dim, dtype=cfg.dtype,
+                                 name="fc_norm")(pooled)
+        tokens = LayerNormFp32(cfg.embed_dim, dtype=cfg.dtype,
+                               name="norm")(tokens)
+        if cfg.final_reduction == "cls":
+            return tokens[:, 0]
+        return tokens
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 features_only: bool = False):
+        """x: (B, T, H, W, C) normalized video -> (B, num_classes) logits."""
+        feats = self._forward_features(x, deterministic)
+        if features_only:
+            return feats
+        cfg = self.cfg
+        if cfg.fc_drop_rate > 0.0:
+            feats = nn.Dropout(cfg.fc_drop_rate)(feats,
+                                                 deterministic=deterministic)
+        if cfg.num_classes > 0:
+            head_std = 0.02 * cfg.init_scale if cfg.init_scale > 0 else 0.02
+            feats = nn.Dense(
+                cfg.num_classes, dtype=jnp.float32,
+                kernel_init=trunc_normal_init(head_std),
+                bias_init=nn.initializers.zeros, name="head")(
+                    feats.astype(jnp.float32))
+        return feats
+
+    def init_params(self, rng, batch_size: int = 1):
+        cfg = self.cfg
+        dummy = jnp.zeros((batch_size, cfg.all_frames, cfg.img_size,
+                           cfg.img_size, cfg.in_chans), cfg.dtype)
+        return self.init(rng, dummy, deterministic=True)["params"]

@@ -1,0 +1,69 @@
+"""Attention dispatch: Pallas flash kernel / XLA fused / naive reference.
+
+Replaces the reference's flash-attn CUDA dependency
+(/root/reference/flash_attention_class.py, modeling_finetune.py:86-130) with
+TPU-native implementations.  All paths compute softmax in float32.
+
+Shapes: q, k, v are (B, N, H, Dh); output (B, N, H, Dh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _naive_attention(q, k, v, scale, dropout_rate=0.0, dropout_rng=None,
+                     deterministic=True):
+    """Reference-math attention: (q*scale) @ k^T -> softmax fp32 -> @ v."""
+    dtype = q.dtype
+    q = q * jnp.asarray(scale, q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=dtype)
+
+
+def _xla_attention(q, k, v, scale):
+    """XLA fused attention (lowers to a well-tiled TPU program)."""
+    return jax.nn.dot_product_attention(q, k, v, scale=scale,
+                                        implementation="xla")
+
+
+def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
+                          dropout_rate: float = 0.0,
+                          dropout_rng=None, deterministic: bool = True):
+    """Non-causal multi-head attention with selectable backend.
+
+    impl:
+      auto   — pallas flash kernel on TPU (no dropout), else XLA fused.
+      pallas — force the Pallas flash kernel.
+      xla    — jax.nn.dot_product_attention (XLA fused).
+      naive  — explicit matmul+softmax (parity/debug; supports attn dropout).
+    """
+    if impl == "auto":
+        if dropout_rate > 0.0 and not deterministic:
+            impl = "naive"  # only the naive path implements attention dropout
+        elif jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0:
+            impl = "pallas"
+        else:
+            impl = "xla"
+
+    if impl == "naive":
+        return _naive_attention(q, k, v, scale, dropout_rate, dropout_rng,
+                                deterministic)
+    if impl == "xla":
+        return _xla_attention(q, k, v, scale)
+    if impl == "pallas":
+        from simple_tad_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    raise ValueError(f"unknown attention impl: {impl!r}")

@@ -1,0 +1,243 @@
+"""PyTorch .pth checkpoint -> JAX pytree converter.
+
+Reproduces the reference's checkpoint-loading surgery bit-exact so released
+HuggingFace/MODEL_ZOO checkpoints work directly:
+
+  * model-key unwrapping 'model' | 'module' | raw state dict
+    (/root/reference/run_frame_finetuning.py:404-411),
+  * key remapping 'backbone.*'->'*', 'encoder.norm'->'fc_norm',
+    'encoder.*'->'*' (:419-430),
+  * dropping shape-mismatched classifier heads (:414-417),
+  * bicubic spatial pos-embed interpolation when geometry differs (:433-458)
+    — only relevant for learnable pos-embeds; the fixed sincos table is a
+    buffer and is regenerated, never loaded,
+  * torch layout -> TPU layout transforms: Linear (out,in)->(in,out)
+    transpose; Conv3d tubelet kernel (D,c,t,h,w) -> flattened (t*h*w*c, D)
+    matching simple_tad_tpu.models.layers.PatchEmbed's (t,h,w,c) patch
+    flatten order; per-block params stacked along a leading depth axis for
+    the scanned block stack.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file into {name: float32 numpy array}."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = None
+    for key in ("model", "module"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            state = ckpt[key]
+            break
+    if state is None:
+        state = ckpt
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to(torch.float32).cpu().numpy()
+        else:
+            out[k] = np.asarray(v, dtype=np.float32)
+    return out
+
+
+def remap_finetune_keys(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """backbone./encoder. prefix stripping + encoder.norm -> fc_norm."""
+    new = {}
+    for key, val in sd.items():
+        if key.startswith("backbone."):
+            new[key[len("backbone."):]] = val
+        elif key.startswith("encoder.norm"):
+            new[key.replace("encoder.norm", "fc_norm")] = val
+        elif key.startswith("encoder."):
+            new[key[len("encoder."):]] = val
+        else:
+            new[key] = val
+    return new
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight (out, in) -> jax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def _conv3d_to_patch_kernel(w: np.ndarray) -> np.ndarray:
+    """(D, c, t, h, w) -> (t*h*w*c, D), matching PatchEmbed's flatten order."""
+    d = w.shape[0]
+    return np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0).reshape(-1, d))
+
+
+def _stack(per_layer: list) -> np.ndarray:
+    return np.stack(per_layer, axis=0)
+
+
+def _convert_block_stack(sd: Mapping[str, np.ndarray], prefix: str,
+                         depth: int) -> Dict[str, Any]:
+    """Collect torch 'prefix{i}.' block params into one stacked pytree."""
+    def get(i, name):
+        return sd[f"{prefix}{i}.{name}"]
+
+    blocks: Dict[str, Any] = {
+        "norm1": {"scale": _stack([get(i, "norm1.weight") for i in range(depth)]),
+                  "bias": _stack([get(i, "norm1.bias") for i in range(depth)])},
+        "norm2": {"scale": _stack([get(i, "norm2.weight") for i in range(depth)]),
+                  "bias": _stack([get(i, "norm2.bias") for i in range(depth)])},
+        "attn": {
+            "qkv_kernel": _stack([_t(get(i, "attn.qkv.weight"))
+                                  for i in range(depth)]),
+            "proj": {"kernel": _stack([_t(get(i, "attn.proj.weight"))
+                                       for i in range(depth)]),
+                     "bias": _stack([get(i, "attn.proj.bias")
+                                     for i in range(depth)])},
+        },
+        "mlp": {
+            "fc1": {"kernel": _stack([_t(get(i, "mlp.fc1.weight"))
+                                      for i in range(depth)]),
+                    "bias": _stack([get(i, "mlp.fc1.bias")
+                                    for i in range(depth)])},
+            "fc2": {"kernel": _stack([_t(get(i, "mlp.fc2.weight"))
+                                      for i in range(depth)]),
+                    "bias": _stack([get(i, "mlp.fc2.bias")
+                                    for i in range(depth)])},
+        },
+    }
+    if f"{prefix}0.attn.q_bias" in sd:
+        blocks["attn"]["q_bias"] = _stack(
+            [get(i, "attn.q_bias") for i in range(depth)])
+        blocks["attn"]["v_bias"] = _stack(
+            [get(i, "attn.v_bias") for i in range(depth)])
+    if f"{prefix}0.gamma_1" in sd:
+        blocks["gamma_1"] = _stack([get(i, "gamma_1") for i in range(depth)])
+        blocks["gamma_2"] = _stack([get(i, "gamma_2") for i in range(depth)])
+    return blocks
+
+
+def torch_to_vit_params(sd: Mapping[str, np.ndarray], *, depth: int,
+                        num_classes: Optional[int] = None,
+                        final_reduction: str = "fc_norm") -> Dict[str, Any]:
+    """Remapped torch state dict -> flax params for VisionTransformer.
+
+    ``num_classes``: expected head width; a mismatched checkpoint head is
+    dropped (caller keeps the freshly-initialized head, matching
+    run_frame_finetuning.py:414-417).  Returns a partial pytree — merge over
+    initialized params with merge_params().
+    """
+    sd = remap_finetune_keys(sd)
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv3d_to_patch_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "blocks": _convert_block_stack(sd, "blocks.", depth),
+    }
+    if final_reduction == "fc_norm":
+        if "fc_norm.weight" in sd:
+            params["fc_norm"] = {"scale": sd["fc_norm.weight"],
+                                 "bias": sd["fc_norm.bias"]}
+        elif "norm.weight" in sd:  # some MAE-encoder exports keep 'norm'
+            params["fc_norm"] = {"scale": sd["norm.weight"],
+                                 "bias": sd["norm.bias"]}
+    else:
+        if "norm.weight" in sd:
+            params["norm"] = {"scale": sd["norm.weight"],
+                              "bias": sd["norm.bias"]}
+    if "head.weight" in sd:
+        head_w = sd["head.weight"]
+        if num_classes is None or head_w.shape[0] == num_classes:
+            params["head"] = {"kernel": _t(head_w), "bias": sd["head.bias"]}
+    if "pos_embed" in sd:
+        # learnable pos-embed checkpoints only; sincos is regenerated.
+        params["pos_embed"] = sd["pos_embed"]
+    return params
+
+
+def torch_to_mae_params(sd: Mapping[str, np.ndarray], *, encoder_depth: int,
+                        decoder_depth: int) -> Dict[str, Any]:
+    """Torch state dict -> flax params for PretrainVideoMAE."""
+    params: Dict[str, Any] = {
+        "encoder_patch_embed": {
+            "kernel": _conv3d_to_patch_kernel(
+                sd["encoder.patch_embed.proj.weight"]),
+            "bias": sd["encoder.patch_embed.proj.bias"],
+        },
+        "encoder": {
+            "blocks": _convert_block_stack(sd, "encoder.blocks.",
+                                           encoder_depth),
+            "norm": {"scale": sd["encoder.norm.weight"],
+                     "bias": sd["encoder.norm.bias"]},
+        },
+        "encoder_to_decoder": {"kernel": _t(sd["encoder_to_decoder.weight"])},
+        "mask_token": sd["mask_token"],
+        "decoder": {
+            "blocks": _convert_block_stack(sd, "decoder.blocks.",
+                                           decoder_depth),
+            "norm": {"scale": sd["decoder.norm.weight"],
+                     "bias": sd["decoder.norm.bias"]},
+        },
+        "decoder_head": {"kernel": _t(sd["decoder.head.weight"]),
+                         "bias": sd["decoder.head.bias"]},
+    }
+    return params
+
+
+def interpolate_pos_embed(pos: np.ndarray, *, num_temporal: int,
+                          new_size: int) -> np.ndarray:
+    """Bicubic spatial interpolation of a (1, T*H*W, D) pos-embed table.
+
+    Mirrors run_frame_finetuning.py:433-458 (uses torch's bicubic resampler
+    for bit parity with the reference surgery).
+    """
+    import torch
+    import torch.nn.functional as F
+    d = pos.shape[-1]
+    orig_size = int((pos.shape[1] // num_temporal) ** 0.5)
+    if orig_size == new_size:
+        return pos
+    t = torch.from_numpy(pos).reshape(-1, num_temporal, orig_size, orig_size, d)
+    t = t.reshape(-1, orig_size, orig_size, d).permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(new_size, new_size), mode="bicubic",
+                      align_corners=False)
+    t = t.permute(0, 2, 3, 1).reshape(1, -1, d)
+    return t.numpy()
+
+
+def merge_params(init_params: Dict[str, Any],
+                 loaded: Dict[str, Any], path: str = "") -> Dict[str, Any]:
+    """Overlay ``loaded`` onto ``init_params``, checking shapes; leaves
+    missing from ``loaded`` keep their initialization (e.g. a fresh head)."""
+    out = {}
+    for key, init_val in init_params.items():
+        if isinstance(init_val, dict):
+            sub = loaded.get(key, {})
+            if not isinstance(sub, dict):
+                raise ValueError(f"type mismatch at {path}{key}")
+            out[key] = merge_params(init_val, sub, f"{path}{key}.")
+        elif key in loaded:
+            arr = np.asarray(loaded[key])
+            if tuple(arr.shape) != tuple(init_val.shape):
+                raise ValueError(
+                    f"shape mismatch at {path}{key}: ckpt {arr.shape} "
+                    f"vs model {tuple(init_val.shape)}")
+            out[key] = arr.astype(np.asarray(init_val).dtype)
+        else:
+            out[key] = init_val
+    return out
+
+
+def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
+                        num_classes: Optional[int] = None) -> Dict[str, Any]:
+    """One-call loader: read .pth, remap, convert, merge over init params."""
+    cfg = model.cfg
+    sd = load_torch_state_dict(path)
+    loaded = torch_to_vit_params(
+        sd, depth=cfg.depth,
+        num_classes=num_classes if num_classes is not None else cfg.num_classes,
+        final_reduction=cfg.final_reduction)
+    if "pos_embed" in loaded and not cfg.use_learnable_pos_emb:
+        loaded.pop("pos_embed")
+    return merge_params(params, loaded)

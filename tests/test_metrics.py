@@ -1,0 +1,85 @@
+"""Metric parity vs sklearn (the reference's own oracle in anaysis/metrics.py)."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import (accuracy_score, average_precision_score,
+                             confusion_matrix, f1_score, matthews_corrcoef,
+                             precision_score, recall_score, roc_auc_score)
+
+from simple_tad_tpu.eval.metrics import (
+    THRESHOLDS, auc_mcc, auroc_binned, average_precision_binned,
+    binary_metrics, binned_confusion_counts, mcc_curve)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    n = 5000
+    labels = (rng.random(n) < 0.3).astype(int)
+    # informative but noisy scores
+    probs = np.clip(labels * 0.4 + rng.random(n) * 0.6, 0, 1)
+    return probs, labels
+
+
+def test_confusion_counts_match_loop(data):
+    probs, labels = data
+    tp, fp, tn, fn = binned_confusion_counts(probs, labels)
+    for i in (0, 17, 50, 100):
+        t = THRESHOLDS[i]
+        pred = (probs >= t).astype(int)
+        cm = confusion_matrix(labels, pred, labels=[0, 1])
+        assert tn[i] == cm[0, 0] and fp[i] == cm[0, 1]
+        assert fn[i] == cm[1, 0] and tp[i] == cm[1, 1]
+
+
+def test_binned_auroc_close_to_exact(data):
+    probs, labels = data
+    binned = auroc_binned(probs, labels)
+    exact = roc_auc_score(labels, probs)
+    assert abs(binned - exact) < 5e-3
+
+
+def test_binned_ap_close_to_exact(data):
+    probs, labels = data
+    binned = average_precision_binned(probs, labels)
+    exact = average_precision_score(labels, probs)
+    assert abs(binned - exact) < 1e-2
+
+
+def test_mcc_curve_matches_sklearn(data):
+    probs, labels = data
+    mcc = mcc_curve(probs, labels)
+    for i in (0, 30, 50, 77, 100):
+        want = matthews_corrcoef(labels, (probs >= THRESHOLDS[i]).astype(int))
+        np.testing.assert_allclose(mcc[i], want, atol=1e-10)
+
+
+def test_auc_mcc_matches_sklearn_auc(data):
+    from sklearn.metrics import auc as sk_auc
+    probs, labels = data
+    mcc = mcc_curve(probs, labels)
+    np.testing.assert_allclose(auc_mcc(probs, labels),
+                               sk_auc(THRESHOLDS, mcc), atol=1e-12)
+
+
+def test_binary_metrics_at_half(data):
+    probs, labels = data
+    m = binary_metrics(probs, labels)
+    pred = (probs >= 0.5).astype(int)
+    np.testing.assert_allclose(m.acc, accuracy_score(labels, pred))
+    np.testing.assert_allclose(m.precision, precision_score(labels, pred))
+    np.testing.assert_allclose(m.recall, recall_score(labels, pred))
+    np.testing.assert_allclose(m.f1, f1_score(labels, pred), atol=1e-12)
+    np.testing.assert_allclose(m.mcc_05, matthews_corrcoef(labels, pred),
+                               atol=1e-12)
+    exact = binary_metrics(probs, labels, exact=True)
+    np.testing.assert_allclose(exact.auroc, roc_auc_score(labels, probs))
+
+
+def test_perfect_and_random_classifier():
+    labels = np.array([0, 0, 1, 1])
+    m = binary_metrics(np.array([0.1, 0.2, 0.8, 0.9]), labels)
+    assert m.auroc == pytest.approx(1.0)
+    assert m.mcc_max == pytest.approx(1.0)
+    m = binary_metrics(np.array([0.5, 0.5, 0.5, 0.5]), labels)
+    assert 0.4 < m.auroc < 0.6
