@@ -1,0 +1,72 @@
+"""Headline benchmark: ViT-B 16x224 sliding-window inference throughput on
+one TPU chip (windows/s), vs the reference's 94 FPS on A100 MIG 2/1
+(BASELINE.md, figs/results.png).
+
+Measures the on-device scoring program used by the eval engine
+(simple_tad_tpu/eval/engine.py): uint8 frame buffer -> window gather ->
+ViT-B forward (bf16, Pallas fused attention, input normalization folded
+into the patch embed).  Every timed call blocks on its result.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "windows/s/chip", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_FPS = 94.0   # DAPT-VideoMAE-B, A100 MIG 2/1 (BASELINE.md)
+
+
+def main():
+    import simple_tad_tpu as st
+    from simple_tad_tpu.utils.cache import enable_persistent_cache
+    from simple_tad_tpu.utils.fold_norm import fold_normalization
+    enable_persistent_cache()
+
+    model = st.create_model("vit_base_patch16_224", num_classes=2,
+                            dtype=jnp.bfloat16, attn_impl="auto")
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = fold_normalization(params)
+
+    @jax.jit
+    def score(params, frames_u8, window_idx):
+        windows = jnp.take(frames_u8, window_idx, axis=0).astype(jnp.bfloat16)
+        return model.apply({"params": params}, windows,
+                           deterministic=True).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (128, 224, 224, 3), dtype=np.uint8))
+
+    best = 0.0
+    results = {}
+    for batch in (64,):
+        idx = np.stack([np.arange(i, i + 16) for i in range(batch)])
+        idx = jnp.asarray(idx % 128, jnp.int32)
+        score(params, frames, idx).block_until_ready()   # compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                score(params, frames, idx).block_until_ready()
+            times.append((time.perf_counter() - t0) / 8)
+        wps = batch / min(times)
+        results[batch] = round(wps, 1)
+        best = max(best, wps)
+
+    print(json.dumps({
+        "metric": "ViT-B 16x224 sliding-window inference throughput",
+        "value": round(best, 1),
+        "unit": "windows/s/chip",
+        "vs_baseline": round(best / A100_BASELINE_FPS, 2),
+        "detail": {"windows_per_sec_by_batch": results},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Batched sliding-window evaluation engine.
+
+Behavioral reference: final_test
+(/root/reference/engine_for_frame_finetuning.py:386-545) — score every
+window of every eval clip, collect {clip, frame, logits_safe, logits_risk,
+label, ttc}, write predictions.csv + stats.txt + metric curves.
+
+TPU-first redesign (SURVEY.md §7): instead of a per-window DataLoader that
+re-decodes each frame up to 16x, eval runs CLIP-AT-ONCE:
+
+  host:   threaded zip decode of the clip's unique frames (once each)
+  device: one jit'd program per (frame-bucket, chunk) shape =
+          gather windows -> normalize -> model forward
+
+Frame counts are bucketed and window chunks fixed-size so the whole eval
+compiles a handful of programs regardless of clip lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_tad_tpu.data.frame_datasets import ClipEvalView, FrameDataset
+from simple_tad_tpu.eval.metrics import BinaryMetrics, binary_metrics
+from simple_tad_tpu.ops import image as image_ops
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class EvalResult:
+    rows: "Any"                  # pandas DataFrame (clip, frame, logits, ...)
+    metrics: BinaryMetrics
+    windows_per_sec: float
+    n_windows: int
+
+    def save(self, preds_file: str, stats_file: Optional[str] = None):
+        self.rows.to_csv(preds_file, index=False)
+        if stats_file:
+            with open(stats_file, "w") as f:
+                for k, v in self.metrics.scalars().items():
+                    f.write(f"{k}: {v}\n")
+                f.write(f"n_windows: {self.n_windows}\n")
+                f.write(f"windows_per_sec: {self.windows_per_sec:.2f}\n")
+
+
+class FrameEvaluator:
+    """Scores FrameDataset eval views with a jit'd gather+forward program."""
+
+    def __init__(self, model, params, *, batch_size: int = 64,
+                 frame_bucket: int = 128, dtype=jnp.bfloat16,
+                 resize_on_host: bool = False, fold_norm: bool = True,
+                 mean=None, std=None):
+        self.model = model
+        self.batch_size = batch_size
+        self.frame_bucket = frame_bucket
+        self.dtype = dtype
+        self.resize_on_host = resize_on_host
+        self.fold_norm = fold_norm
+        self.mean = image_ops.IMAGENET_MEAN if mean is None else mean
+        self.std = image_ops.IMAGENET_STD if std is None else std
+        self.crop = model.cfg.img_size
+        if fold_norm:
+            from simple_tad_tpu.utils.fold_norm import fold_normalization
+            params = fold_normalization(params, self.mean, self.std)
+        self.params = params
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _score(params, frames_u8, window_idx):
+            # frames_u8: (F, H, W, C) uint8; window_idx: (B, T)
+            if not self.resize_on_host:
+                frames_u8 = jnp.clip(
+                    image_ops.resize_bicubic(frames_u8,
+                                             (self.crop, self.crop)),
+                    0.0, 255.0).astype(self.dtype)
+            if self.fold_norm:
+                # normalization folded into patch-embed weights: gather raw
+                # uint8 windows (half the HBM traffic) and cast
+                windows = jnp.take(frames_u8, window_idx,
+                                   axis=0).astype(self.dtype)
+            else:
+                x = image_ops.normalize(frames_u8, self.mean, self.std,
+                                        dtype=self.dtype)
+                windows = jnp.take(x, window_idx, axis=0)  # (B, T, H, W, C)
+            logits = self.model.apply({"params": params}, windows,
+                                      deterministic=True)
+            return logits.astype(jnp.float32)
+
+        self._score = _score
+
+    def _device_frames(self, frames: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        f = frames.shape[0]
+        f_pad = _ceil_to(max(f, 1), self.frame_bucket)
+        if f_pad != f:
+            frames = np.concatenate(
+                [frames, np.zeros((f_pad - f,) + frames.shape[1:],
+                                  frames.dtype)])
+        return jnp.asarray(frames), f
+
+    def score_view(self, dataset: FrameDataset, view: ClipEvalView
+                   ) -> np.ndarray:
+        """-> (W, num_classes) float32 logits for all windows of one clip."""
+        frames = dataset.decode_clip_frames(
+            view, resize_on_host=self.resize_on_host)
+        dev_frames, _ = self._device_frames(frames)
+        W = view.window_idx.shape[0]
+        B = self.batch_size
+        out = []
+        for s in range(0, W, B):
+            chunk = view.window_idx[s:s + B]
+            if chunk.shape[0] < B:   # pad chunk to fixed shape
+                pad = np.zeros((B - chunk.shape[0], chunk.shape[1]),
+                               chunk.dtype)
+                padded = np.concatenate([chunk, pad])
+                logits = self._score(self.params, dev_frames,
+                                     jnp.asarray(padded))
+                out.append(np.asarray(logits)[: chunk.shape[0]])
+            else:
+                out.append(np.asarray(
+                    self._score(self.params, dev_frames, jnp.asarray(chunk))))
+        return np.concatenate(out)
+
+    def evaluate(self, dataset: FrameDataset, *, exact_metrics: bool = False
+                 ) -> EvalResult:
+        import pandas as pd
+        views = dataset.clip_eval_views()
+        rows: Dict[str, list] = {k: [] for k in
+                                 ("clip", "filename", "logits_safe",
+                                  "logits_risk", "label", "ttc")}
+        t0 = time.perf_counter()
+        n_windows = 0
+        for view in views:
+            logits = self.score_view(dataset, view)
+            n_windows += logits.shape[0]
+            rows["clip"].extend([view.clip.name] * logits.shape[0])
+            rows["filename"].extend(view.frame_names)
+            rows["logits_safe"].extend(logits[:, 0].tolist())
+            rows["logits_risk"].extend(logits[:, 1].tolist())
+            rows["label"].extend(view.labels.tolist())
+            rows["ttc"].extend(np.asarray(view.ttc).tolist())
+        elapsed = time.perf_counter() - t0
+
+        df = pd.DataFrame(rows)
+        logits = df[["logits_safe", "logits_risk"]].to_numpy()
+        probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)[:, 1]
+        metrics = binary_metrics(np.asarray(probs), df["label"].to_numpy(),
+                                 exact=exact_metrics)
+        return EvalResult(rows=df, metrics=metrics,
+                          windows_per_sec=n_windows / max(elapsed, 1e-9),
+                          n_windows=n_windows)

@@ -265,5 +265,6 @@ class PatchEmbed(nn.Module):
         x = x.reshape(B, nt, tb, nh, p, nw, p, C)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(B, nt * nh * nw, tb * p * p * C).astype(self.dtype)
-        return jnp.dot(x, kernel.astype(self.dtype),
-                       preferred_element_type=self.dtype) + bias.astype(self.dtype)
+        y = jnp.dot(x, kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y + bias.astype(jnp.float32)).astype(self.dtype)

@@ -1,0 +1,2 @@
+from simple_tad_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, make_mesh, replicated, shard_batch)

@@ -1,0 +1,47 @@
+"""Fold input normalization into the patch-embed projection.
+
+The eval pixel path is linear until the patch-embed matmul:
+  x_norm = u/255 - mean) / std   (tensor_normalize, /root/reference/dota.py:443-460)
+  tokens = W^T x_norm + b
+Substituting gives an equivalent projection over RAW uint8 pixels:
+  W'[row] = W[row] / (255 * std[c(row)])
+  b'      = b - sum_row W[row] * mean[c(row)] / std[c(row)]
+where c(row) is the channel of the flattened (t, h, w, c) patch row.
+
+This removes the whole-buffer normalization pass from the inference path
+(~20% of eval step time at batch 32) and halves gather traffic by keeping
+frames uint8 until the embed.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import numpy as np
+
+from simple_tad_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+
+def fold_normalization(params: Dict[str, Any], mean=IMAGENET_MEAN,
+                       std=IMAGENET_STD, patch_embed_key: str = "patch_embed",
+                       in_chans: int = 3) -> Dict[str, Any]:
+    """Return params with normalization folded into ``patch_embed_key``.
+
+    The model must then be fed raw pixel values in [0, 255] (uint8 cast to
+    the compute dtype) instead of normalized video.
+    """
+    params = dict(params)
+    pe = dict(params[patch_embed_key])
+    kernel = np.asarray(pe["kernel"], np.float64)          # (rows, D)
+    bias = np.asarray(pe["bias"], np.float64)
+    rows = kernel.shape[0]
+    c_of_row = np.arange(rows) % in_chans                  # (t,h,w,c) order
+    s = 1.0 / (255.0 * np.asarray(std, np.float64))[c_of_row]   # (rows,)
+    m = (np.asarray(mean, np.float64) / np.asarray(std, np.float64))[c_of_row]
+    new_kernel = kernel * s[:, None]
+    new_bias = bias - (kernel * m[:, None]).sum(axis=0)
+    pe["kernel"] = new_kernel.astype(np.asarray(pe["kernel"]).dtype)
+    pe["bias"] = new_bias.astype(np.asarray(pe["bias"]).dtype)
+    params[patch_embed_key] = pe
+    return params

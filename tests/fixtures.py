@@ -1,0 +1,73 @@
+"""Synthetic DoTA-format dataset fixture (SURVEY.md §4): a tiny tree of
+JPEG-in-zip clips + JSON annotations that exercises the full eval path
+end-to-end on CPU."""
+
+import json
+import os
+import zipfile
+
+import cv2
+import numpy as np
+
+
+def _frame_image(h, w, t, risky: bool, seed: int) -> np.ndarray:
+    """Dashcam-ish synthetic frame: sky/road gradient + moving blob.
+    Risky frames get a bright red blob so a trained toy model could
+    separate them; pipeline tests only need determinism."""
+    rng = np.random.default_rng(seed * 10007 + t)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[: h // 2] = (135, 170, 200)          # sky
+    img[h // 2:] = (90, 90, 95)              # road
+    x = int((t * 7) % (w - 10))
+    color = (220, 40, 40) if risky else (40, 180, 60)
+    cv2.circle(img, (x + 5, h // 2), 6, color, -1)
+    img += rng.integers(0, 8, img.shape, dtype=np.uint8)
+    return img
+
+
+def make_synthetic_dota(root: str, *, n_clips: int = 3,
+                        frames_per_clip: int = 40, h: int = 72, w: int = 128,
+                        split: str = "val_split.txt",
+                        prefix: str = "clip") -> str:
+    """Build <root>/{dataset/{split,annotations,metadata_*.json},
+    frames/<clip>/images.zip}.  Odd clips contain an anomaly window."""
+    ds = os.path.join(root, "dataset")
+    os.makedirs(os.path.join(ds, "annotations"), exist_ok=True)
+    names, meta = [], {}
+    for c in range(n_clips):
+        name = f"{prefix}_{c:03d}"
+        names.append(name)
+        has_anomaly = c % 2 == 1
+        a_start, a_end = frames_per_clip // 2, frames_per_clip // 2 + 8
+        labels = []
+        frame_dir = os.path.join(root, "frames", name)
+        os.makedirs(frame_dir, exist_ok=True)
+        with zipfile.ZipFile(os.path.join(frame_dir, "images.zip"), "w") as zf:
+            for t in range(frames_per_clip):
+                risky = has_anomaly and a_start <= t <= a_end
+                img = _frame_image(h, w, t, risky, seed=c)
+                ok, buf = cv2.imencode(".jpg", img)
+                assert ok
+                zf.writestr(f"{t:06d}.jpg", buf.tobytes())
+                labels.append({"image_path": f"frames/{t:06d}.jpg",
+                               "accident_id": 3 if risky else 0})
+        anno = {"labels": labels, "ego_involve": bool(c % 2),
+                "night": bool(c == 2)}
+        with open(os.path.join(ds, "annotations", f"{name}.json"), "w") as f:
+            json.dump(anno, f)
+        meta[name] = {"anomaly_class":
+                      ("ego: lateral" if c % 2 else "other: unknown")}
+    with open(os.path.join(ds, split), "w") as f:
+        f.write("\n".join(names) + "\n")
+    meta_name = ("metadata_train.json" if "train" in split
+                 else "metadata_val.json")
+    with open(os.path.join(ds, meta_name), "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+def make_synthetic_dota_full(root: str, **kw) -> str:
+    """Fixture with both train and val splits (for trainer CLI tests)."""
+    make_synthetic_dota(root, split="train_split.txt", prefix="train", **kw)
+    return make_synthetic_dota(root, split="val_split.txt", prefix="val",
+                               **kw)

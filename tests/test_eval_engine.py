@@ -1,0 +1,122 @@
+"""End-to-end eval on the synthetic DoTA fixture (BASELINE.json config 1/2
+shape, CPU): annotations -> windows -> clip-at-once scoring ->
+predictions.csv + metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from simple_tad_tpu.data.frame_datasets import FrameDataset, read_dota_clips
+from simple_tad_tpu.eval.engine import FrameEvaluator
+from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+
+from tests.fixtures import make_synthetic_dota
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def dota_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dota")
+    return make_synthetic_dota(str(root), n_clips=3, frames_per_clip=40,
+                               h=72, w=128)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ViTConfig(img_size=32, all_frames=16, patch_size=16, embed_dim=64,
+                    depth=2, num_heads=2, num_classes=2, attn_impl="naive")
+    model = VisionTransformer(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_read_dota_clips(dota_root):
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    assert len(clips) == 3
+    c1 = clips[1]
+    assert c1.binary_labels.sum() == 9            # frames 20..28 risky
+    assert c1.ego and not c1.night
+    assert c1.meta_category == "LA" and c1.meta_ego
+    assert clips[0].binary_labels.sum() == 0
+    assert len(c1.frame_names) == 40
+    # TTC negative shortly before anomaly, 0 inside
+    assert c1.ttc[20] == 0 and c1.ttc[19] < 0
+
+
+def test_window_enumeration_and_labels(dota_root):
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    # 40 frames, window 16, stride 1 -> 25 windows per clip
+    assert len(ds) == 3 * 25
+    labels = ds.labels
+    # window label == last-frame label
+    risky = [s for s in ds.samples if s.label == 1]
+    assert all(clips[s.clip_idx].binary_labels[s.frame_idx[-1]] == 1
+               for s in risky)
+    assert labels.sum() == sum(
+        clips[1].binary_labels[15:].tolist())   # only clip 1 has anomalies
+
+
+def test_clip_eval_views_cover_all_windows(dota_root):
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    views = ds.clip_eval_views()
+    assert sum(v.window_idx.shape[0] for v in views) == len(ds)
+    v = views[0]
+    # windows reconstructed through unique/inverse match the raw sequences
+    raw = v.unique_frames[v.window_idx]
+    assert raw.shape == (25, 16)
+    assert (np.diff(raw, axis=1) == 1).all()
+
+
+def test_end_to_end_eval(dota_root, tiny_model, tmp_path):
+    model, params = tiny_model
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    ev = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                        dtype=jnp.float32)
+    res = ev.evaluate(ds)
+    assert res.n_windows == len(ds)
+    assert len(res.rows) == len(ds)
+    assert set(res.rows.columns) == {"clip", "filename", "logits_safe",
+                                     "logits_risk", "label", "ttc"}
+    assert 0.0 <= res.metrics.auroc <= 1.0
+    preds = tmp_path / "predictions.csv"
+    stats = tmp_path / "stats.txt"
+    res.save(str(preds), str(stats))
+    assert preds.exists() and "auroc" in stats.read_text()
+
+
+def test_eval_chunking_invariant(dota_root, tiny_model):
+    """Same logits regardless of batch size (padding correctness)."""
+    model, params = tiny_model
+    clips = read_dota_clips(dota_root, "val_split.txt")[:1]
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    view = ds.clip_eval_views()[0]
+    a = FrameEvaluator(model, params, batch_size=25,
+                       dtype=jnp.float32).score_view(ds, view)
+    b = FrameEvaluator(model, params, batch_size=7,
+                       dtype=jnp.float32).score_view(ds, view)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_device_resize_close_to_host_resize(dota_root, tiny_model):
+    model, params = tiny_model
+    clips = read_dota_clips(dota_root, "val_split.txt")[:1]
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    view = ds.clip_eval_views()[0]
+    host = FrameEvaluator(model, params, batch_size=25, dtype=jnp.float32,
+                          resize_on_host=True).score_view(ds, view)
+    dev = FrameEvaluator(model, params, batch_size=25, dtype=jnp.float32,
+                         resize_on_host=False).score_view(ds, view)
+    # cv2 vs XLA bicubic: logits should agree closely on natural frames
+    assert np.abs(host - dev).max() < 0.05

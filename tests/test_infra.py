@@ -1,0 +1,110 @@
+"""Masking, checkpointing, config, logging infra tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simple_tad_tpu.config import FinetuneConfig, PretrainConfig
+from simple_tad_tpu.data.masking import TubeMaskingGenerator
+from simple_tad_tpu.utils import checkpoint as ckpt
+from simple_tad_tpu.utils.logging import MetricLogger, SmoothedValue
+
+
+class TestTubeMasking:
+    def test_single_mask_properties(self):
+        gen = TubeMaskingGenerator((8, 14, 14), 0.75)
+        m = gen(np.random.default_rng(0))
+        assert m.shape == (8 * 196,)
+        assert m.sum() == 8 * int(0.75 * 196)
+        # tube property: identical across temporal slots
+        per = m.reshape(8, 196)
+        assert (per == per[0]).all()
+
+    def test_batch_masks(self):
+        gen = TubeMaskingGenerator((8, 14, 14), 0.9)
+        mb = gen.batch(16, np.random.default_rng(0))
+        assert mb.shape == (16, 8 * 196)
+        counts = mb.sum(1)
+        assert (counts == 8 * int(0.9 * 196)).all()
+        per = mb.reshape(16, 8, 196)
+        assert (per == per[:, :1]).all()
+        # masks differ across batch
+        assert not (mb[0] == mb[1]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+    from simple_tad_tpu.train import optim as O
+    from simple_tad_tpu.train.steps import TrainState
+
+    model = VisionTransformer(ViTConfig(
+        img_size=32, all_frames=4, embed_dim=64, depth=1, num_heads=2,
+        num_classes=2, attn_impl="naive"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = O.create_optimizer(params, lr_schedule=1e-3)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+    ckpt.save_train_state(out, state, epoch=3)
+    state2 = TrainState.create(params, tx, jax.random.PRNGKey(99))
+    state2, start_epoch = ckpt.load_train_state(out, state2)
+    assert start_epoch == 4
+    assert int(state2.step) == 7
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # weights-only + best tracker
+    tracker = ckpt.BestTracker(out)
+    improved = tracker.update(params, {"auroc": 0.8, "ap": 0.5})
+    assert set(improved) == {"auroc", "ap"}
+    assert os.path.exists(os.path.join(out, "checkpoint-bestauroc"))
+    improved = tracker.update(params, {"auroc": 0.7})
+    assert improved == {}
+    restored = ckpt.load_weights(os.path.join(out, "checkpoint-bestauroc"),
+                                 params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored)[0]), np.asarray(a))
+
+
+def test_missing_checkpoint_returns_epoch0(tmp_path):
+    from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+    from simple_tad_tpu.train import optim as O
+    from simple_tad_tpu.train.steps import TrainState
+    model = VisionTransformer(ViTConfig(
+        img_size=32, all_frames=4, embed_dim=64, depth=1, num_heads=2,
+        attn_impl="naive"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = O.create_optimizer(params, lr_schedule=1e-3)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    _, epoch = ckpt.load_train_state(str(tmp_path), state)
+    assert epoch == 0
+
+
+def test_config_from_args_and_save(tmp_path):
+    cfg = FinetuneConfig.from_args([
+        "--model", "vit_small_patch16_224", "--batch_size", "32",
+        "--lr", "2e-3", "--eval", "--loss", "2bce"])
+    assert cfg.model == "vit_small_patch16_224"
+    assert cfg.batch_size == 32 and cfg.lr == 2e-3
+    assert cfg.eval is True and cfg.loss == "2bce"
+    p = tmp_path / "params.json"
+    cfg.save(str(p))
+    assert "vit_small_patch16_224" in p.read_text()
+    pcfg = PretrainConfig.from_args(["--mask_ratio", "0.75"])
+    assert pcfg.mask_ratio == 0.75
+
+
+def test_metric_logger_smoothing(capsys):
+    ml = MetricLogger(print_freq=2)
+    for i, _ in enumerate(ml.log_every(range(5), header="ep0")):
+        ml.update(loss=float(i))
+    out = capsys.readouterr().out
+    assert "ep0 [0/5]" in out and "Total time" in out
+    assert ml.epoch_stats()["loss"] == pytest.approx(2.0)
