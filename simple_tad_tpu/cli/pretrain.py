@@ -1,0 +1,198 @@
+"""MAE / DAPT pre-training driver CLI.
+
+Equivalent of /root/reference/run_mae_pretraining.py (single dataset) and
+run_mae_double_pretraining.py (dual-dataset DAPT: e.g. BDD100K + CAP-DATA,
+batches concatenated per step, hard stop at --stop_at_epoch).  Supports
+warm start from a VideoMAE .pth (from_ckpt, run_mae_double_pretraining.py:
+289-354).
+
+Usage (single):
+  python -m simple_tad_tpu.cli.pretrain --data_set DoTA \
+      --data_path /data/dota --model pretrain_videomae_small_patch16_224 \
+      --mask_ratio 0.9 --epochs 100 --output_dir out/
+Usage (double DAPT):
+  ... --data_set BDD100K --data_path /data/bdd \
+      --data_set2 DoTA --data_path2 /data/cap --batch_size2 160 \
+      --transforms_finetune_align --stop_at_epoch 12
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from simple_tad_tpu.config import PretrainConfig
+
+
+def _build_source(data_set: str, data_path: str, cfg):
+    from simple_tad_tpu.data.frame_datasets import (read_dada_clips,
+                                                    read_dota_clips)
+    from simple_tad_tpu.data.pretrain_datasets import (
+        PretrainWindowDataset, VideoFileSource, ZipClipSource)
+    if data_set == "DoTA":
+        clips = read_dota_clips(data_path, "all_split.txt", orig_fps=10)
+        source, orig_fps = ZipClipSource(clips), 10
+    elif data_set in ("DADA2K", "DADA"):
+        clips = read_dada_clips(data_path, "DADA2K_my_split/all.txt",
+                                orig_fps=30)
+        source, orig_fps = ZipClipSource(clips), 30
+    elif data_set == "BDD100K":
+        import glob
+        paths = sorted(glob.glob(os.path.join(data_path, "videos", "*")))
+        source, orig_fps = VideoFileSource(paths), 30
+    else:
+        raise ValueError(data_set)
+    return PretrainWindowDataset(
+        source, view_len=cfg.num_frames, target_fps=cfg.view_fps,
+        orig_fps=orig_fps, view_step=cfg.sampling_rate)
+
+
+def main(argv=None):
+    cfg = PretrainConfig.from_args(argv)
+    from simple_tad_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import simple_tad_tpu as st
+    from simple_tad_tpu.data.pretrain_datasets import PretrainLoader
+    from simple_tad_tpu.ops.augment import (pretrain_augment_align,
+                                            pretrain_augment_orig)
+    from simple_tad_tpu.train import optim as O
+    from simple_tad_tpu.train.steps import TrainState, make_mae_train_step
+    from simple_tad_tpu.utils import checkpoint as ckpt_utils
+    from simple_tad_tpu.utils.logging import JsonlLogger, MetricLogger
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = st.create_model(cfg.model, all_frames=cfg.num_frames,
+                            img_size=cfg.input_size,
+                            tubelet_size=cfg.tubelet_size,
+                            decoder_depth=cfg.decoder_depth,
+                            drop_path_rate=cfg.drop_path,
+                            dtype=dtype, attn_impl=cfg.attn_impl)
+    window_size = (cfg.num_frames // cfg.tubelet_size,
+                   cfg.input_size // 16, cfg.input_size // 16)
+
+    ds1 = _build_source(cfg.data_set, cfg.data_path, cfg)
+    loader1 = PretrainLoader(ds1, cfg.batch_size, window_size=window_size,
+                             mask_ratio=cfg.mask_ratio, seed=cfg.seed,
+                             nb_samples_per_epoch=cfg.nb_samples_per_epoch,
+                             num_threads=cfg.num_workers)
+    loader2 = None
+    if cfg.data_set2:
+        ds2 = _build_source(cfg.data_set2, cfg.data_path2, cfg)
+        loader2 = PretrainLoader(
+            ds2, cfg.batch_size2 or cfg.batch_size,
+            window_size=window_size, mask_ratio=cfg.mask_ratio,
+            seed=cfg.seed + 1,
+            nb_samples_per_epoch=cfg.nb_samples_per_epoch,
+            num_threads=cfg.num_workers)
+    num_masked = loader1.num_masked
+
+    # init params with a dummy shaped batch
+    dummy = jnp.zeros((1, cfg.num_frames, cfg.input_size, cfg.input_size, 3),
+                      dtype)
+    dummy_mask = np.zeros((1, model.cfg.num_patches), bool)
+    dummy_mask[:, :num_masked] = True
+    params = model.init(jax.random.PRNGKey(cfg.seed), dummy,
+                        jnp.asarray(dummy_mask), num_masked)["params"]
+    if cfg.from_ckpt:
+        from simple_tad_tpu.utils.torch_convert import (load_torch_state_dict,
+                                                        merge_params,
+                                                        torch_to_mae_params)
+        sd = load_torch_state_dict(cfg.from_ckpt)
+        loaded = torch_to_mae_params(sd,
+                                     encoder_depth=model.cfg.encoder_depth,
+                                     decoder_depth=model.cfg.decoder_depth)
+        params = merge_params(params, loaded)
+        print(f"warm-started from {cfg.from_ckpt}")
+
+    steps_per_epoch = loader1.steps_per_epoch()
+    total_batch = ((cfg.batch_size + (cfg.batch_size2 or 0))
+                   * cfg.update_freq * jax.device_count())
+    lr = cfg.lr * total_batch / 256.0
+    lr_sched = O.cosine_scheduler(lr, cfg.min_lr, cfg.epochs,
+                                  steps_per_epoch,
+                                  warmup_epochs=cfg.warmup_epochs,
+                                  start_warmup_value=cfg.warmup_lr,
+                                  warmup_steps=cfg.warmup_steps)
+    wd_end = (cfg.weight_decay if cfg.weight_decay_end is None
+              else cfg.weight_decay_end)
+    wd_sched = O.cosine_scheduler(cfg.weight_decay, wd_end, cfg.epochs,
+                                  steps_per_epoch)
+    tx = O.create_optimizer(params, lr_schedule=O.array_schedule(lr_sched),
+                            wd_schedule=O.array_schedule(wd_sched),
+                            weight_decay=cfg.weight_decay,
+                            betas=tuple(cfg.opt_betas), eps=cfg.opt_eps,
+                            clip_grad=cfg.clip_grad)
+    step = make_mae_train_step(model, tx, num_masked=num_masked,
+                               normalize_target=cfg.normlize_target)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 2))
+
+    start_epoch = cfg.start_epoch
+    if cfg.output_dir:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        cfg.save(os.path.join(cfg.output_dir, "params.json"))
+        if cfg.auto_resume and not cfg.resume:
+            state, start_epoch = ckpt_utils.load_train_state(cfg.output_dir,
+                                                             state)
+
+    augment = (pretrain_augment_align if cfg.transforms_finetune_align
+               else pretrain_augment_orig)
+    jsonl = JsonlLogger(cfg.output_dir or None)
+    aug_key = jax.random.PRNGKey(cfg.seed + 3)
+
+    stop_epoch = cfg.epochs if cfg.stop_at_epoch < 0 else min(
+        cfg.epochs, cfg.stop_at_epoch)
+    for epoch in range(start_epoch, stop_epoch):
+        ml = MetricLogger(print_freq=10)
+        t0 = time.time()
+
+        def batches():
+            if loader2 is None:
+                for b in loader1.epoch(epoch):
+                    yield (b,)
+            else:
+                from simple_tad_tpu.data.pretrain_datasets import CyclicZip
+                cz = CyclicZip(loader1.epoch if len(loader1.dataset)
+                               >= len(loader2.dataset) else loader2.epoch,
+                               loader2.epoch if len(loader1.dataset)
+                               >= len(loader2.dataset) else loader1.epoch)
+                for b1, b2 in cz.epoch(epoch):
+                    yield (b1, b2)
+
+        nonlocal_key = jax.random.fold_in(aug_key, epoch)
+        for parts in ml.log_every(batches(), header=f"Epoch [{epoch}]"):
+            videos, masks = [], []
+            for part in parts:
+                nonlocal_key, k = jax.random.split(nonlocal_key)
+                videos.append(augment(jnp.asarray(part["video_u8"]), k,
+                                      crop_size=cfg.input_size,
+                                      dtype=dtype))
+                masks.append(jnp.asarray(part["mask"]))
+            batch = {"video": jnp.concatenate(videos) if len(videos) > 1
+                     else videos[0],
+                     "mask": jnp.concatenate(masks) if len(masks) > 1
+                     else masks[0]}
+            state, metrics = step(state, batch)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(f"loss is {loss}")
+            ml.update(loss=loss, grad_norm=float(metrics["grad_norm"]))
+        stats = ml.epoch_stats()
+        print(f"[epoch {epoch}] mae loss {stats.get('loss', 0):.4f} "
+              f"({time.time() - t0:.0f}s)")
+        jsonl.write({"epoch": epoch, **stats})
+        if cfg.output_dir:
+            ckpt_utils.save_train_state(cfg.output_dir, state, epoch)
+            if (epoch + 1) % cfg.save_ckpt_freq == 0:
+                ckpt_utils.save_weights(cfg.output_dir, state.params,
+                                        f"checkpoint-{epoch}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Masked-video-modeling (MAE/DAPT) pre-training datasets and loaders.
+
+Behavioral reference: VideoMAE_DoTA (/root/reference/dota.py:463-755),
+VideoMAE_DADA2K (dada.py:452+), VideoMAE_BDD100K (bdd100k.py:26+),
+build_pretraining_dataset (datasets_frame.py:71-199) and CyclicDataLoader
+(run_mae_double_pretraining.py:25-41).
+
+TPU-first split of responsibilities:
+  host   — window enumeration (RegularSequencer), decode at half-res with
+           short-side 320 (dota.py:635-663), tube-mask generation, threaded
+           batch assembly;
+  device — the whole augmentation pipeline
+           (ops/augment.pretrain_augment_{orig,align}).
+
+Video-file sources (BDD100K .mov, Kinetics .mp4) decode through
+cv2.VideoCapture (the image ships no decord); frame-accurate seeks are
+done by positioned reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from simple_tad_tpu.data.frame_datasets import ClipInfo
+from simple_tad_tpu.data.masking import TubeMaskingGenerator
+from simple_tad_tpu.data.sequencing import RegularSequencer
+from simple_tad_tpu.data.zipreader import decode_zip_frames
+
+
+def _half_then_short_side(img: np.ndarray, short_size: int = 320
+                          ) -> np.ndarray:
+    """dota.py:648-660: 0.5x cubic downscale then short-side -> 320
+    bilinear."""
+    img = cv2.resize(img, dsize=(0, 0), fx=0.5, fy=0.5,
+                     interpolation=cv2.INTER_CUBIC)
+    h, w = img.shape[:2]
+    if h < w:
+        nh, nw = short_size, int(w * short_size / h)
+    else:
+        nh, nw = int(h * short_size / w), short_size
+    return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+
+class ZipClipSource:
+    """Frame source over ClipInfo zips (DoTA/DADA)."""
+
+    def __init__(self, clips: Sequence[ClipInfo], short_size: int = 320):
+        self.clips = list(clips)
+        self.short_size = short_size
+
+    def __len__(self):
+        return len(self.clips)
+
+    def num_frames(self, clip_idx: int) -> int:
+        return len(self.clips[clip_idx].frame_names)
+
+    def read_window(self, clip_idx: int, frame_idx: Sequence[int]
+                    ) -> np.ndarray:
+        clip = self.clips[clip_idx]
+        names = [clip.frame_names[i] for i in frame_idx]
+        frames = decode_zip_frames(clip.zip_path, names)
+        return np.stack([_half_then_short_side(f, self.short_size)
+                         for f in frames])
+
+
+class VideoFileSource:
+    """Frame source over raw video files (BDD100K .mov, Kinetics .mp4)
+    via cv2.VideoCapture (decord replacement, SURVEY.md §2c)."""
+
+    def __init__(self, paths: Sequence[str], short_size: int = 320,
+                 frame_counts: Optional[Sequence[int]] = None):
+        self.paths = list(paths)
+        self.short_size = short_size
+        if frame_counts is None:
+            frame_counts = []
+            for p in self.paths:
+                cap = cv2.VideoCapture(p)
+                frame_counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+                cap.release()
+        self.frame_counts = list(frame_counts)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def num_frames(self, clip_idx: int) -> int:
+        return self.frame_counts[clip_idx]
+
+    def fps(self, clip_idx: int) -> float:
+        cap = cv2.VideoCapture(self.paths[clip_idx])
+        f = cap.get(cv2.CAP_PROP_FPS)
+        cap.release()
+        return f
+
+    def read_window(self, clip_idx: int, frame_idx: Sequence[int]
+                    ) -> np.ndarray:
+        cap = cv2.VideoCapture(self.paths[clip_idx])
+        out = {}
+        need = sorted(set(int(i) for i in frame_idx))
+        pos = -10
+        for i in need:
+            if i != pos + 1:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+            ok, frame = cap.read()
+            pos = i
+            if not ok:
+                raise IOError(
+                    f"failed to read frame {i} of {self.paths[clip_idx]}")
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            out[i] = _half_then_short_side(frame, self.short_size)
+        cap.release()
+        return np.stack([out[int(i)] for i in frame_idx])
+
+
+class PretrainWindowDataset:
+    """Window enumeration over a frame source (RegularSequencer,
+    dota.py:611-633)."""
+
+    def __init__(self, source, *, view_len: int = 16, target_fps: int = 10,
+                 orig_fps: int = 10, view_step: int = 4):
+        self.source = source
+        seq = RegularSequencer(seq_frequency=target_fps, seq_length=view_len,
+                               step=view_step)
+        self.samples = []
+        for ci in range(len(source)):
+            seqs = seq.get_sequences(source.num_frames(ci), orig_fps)
+            if seqs is None:
+                continue
+            self.samples.extend((ci, np.asarray(s)) for s in seqs)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_window(self, index: int) -> np.ndarray:
+        ci, fidx = self.samples[index]
+        return self.source.read_window(ci, fidx)
+
+
+class PretrainLoader:
+    """Threaded batches of {video_u8 (B,T,H,W,C), mask (B,N)}.
+
+    Window masks come from TubeMaskingGenerator.batch; frame spatial sizes
+    can vary per source clip, so windows are center-padded/cropped to the
+    batch's first window shape (sources normalize short side to 320, so
+    shapes only differ in the long side by a few px across aspect ratios).
+    """
+
+    def __init__(self, dataset: PretrainWindowDataset, batch_size: int, *,
+                 window_size, mask_ratio: float, seed: int = 0,
+                 nb_samples_per_epoch: int = 0, num_threads: int = 4,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.maskgen = TubeMaskingGenerator(window_size, mask_ratio)
+        self.seed = seed
+        self.cap = nb_samples_per_epoch
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+    @property
+    def num_masked(self) -> int:
+        return self.maskgen.total_masks
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset)
+        if self.cap:
+            n = min(n, self.cap)
+        return n // self.batch_size
+
+    @staticmethod
+    def _fit(frames: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Center crop/pad (T, H, W, C) to (T, h, w, C)."""
+        T, H, W, C = frames.shape
+        if H == h and W == w:
+            return frames
+        out = np.zeros((T, h, w, C), frames.dtype)
+        sh, dh = max(0, (H - h) // 2), max(0, (h - H) // 2)
+        sw, dw = max(0, (W - w) // 2), max(0, (w - W) // 2)
+        ch, cw = min(h, H), min(w, W)
+        out[:, dh:dh + ch, dw:dw + cw] = frames[:, sh:sh + ch, sw:sw + cw]
+        return out
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        order = rng.permutation(len(self.dataset))
+        if self.cap:
+            order = order[:self.cap]
+        n_batches = len(order) // self.batch_size
+        rows = order[:n_batches * self.batch_size].reshape(
+            n_batches, self.batch_size)
+        mask_rng = np.random.default_rng(self.seed * 7919 + epoch_idx)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def make(row):
+            wins = [self.dataset.get_window(int(i)) for i in row]
+            h = min(w.shape[1] for w in wins)
+            wmin = min(w.shape[2] for w in wins)
+            video = np.stack([self._fit(w, h, wmin) for w in wins])
+            return video
+
+        def worker(shard):
+            for row in shard:
+                if stop.is_set():
+                    return
+                q.put(make(row))
+
+        shards = [rows[i::self.num_threads]
+                  for i in range(self.num_threads)]
+        threads = [threading.Thread(target=worker, args=(s,), daemon=True)
+                   for s in shards if len(s)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(n_batches):
+                video = q.get()
+                mask = self.maskgen.batch(self.batch_size, mask_rng)
+                yield {"video_u8": video, "mask": mask}
+        finally:
+            stop.set()
+            while not q.empty():
+                q.get_nowait()
+
+
+class CyclicZip:
+    """Zip two epoch iterators, cycling the shorter one
+    (CyclicDataLoader, run_mae_double_pretraining.py:25-41): the epoch ends
+    when the longer iterator ends."""
+
+    def __init__(self, make_long, make_short):
+        self.make_long = make_long
+        self.make_short = make_short
+
+    def epoch(self, epoch_idx: int):
+        short_iter = self.make_short(epoch_idx)
+        cycle = epoch_idx
+        for batch_long in self.make_long(epoch_idx):
+            try:
+                batch_short = next(short_iter)
+            except StopIteration:
+                cycle += 1
+                short_iter = self.make_short(cycle * 1000 + epoch_idx)
+                batch_short = next(short_iter)
+            yield batch_long, batch_short

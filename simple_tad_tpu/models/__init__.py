@@ -38,6 +38,21 @@ def _register_vit():
             _REGISTRY[name] = ("vit", dict(
                 img_size=img, patch_size=16, embed_dim=dim, depth=depth,
                 num_heads=heads, mlp_ratio=4.0, qkv_bias=True))
+    # MVD variants: 3D sincos pos-embed, optional CLS
+    # (/root/reference/other_models/MVD/modeling_finetune.py:459-495)
+    for size, (dim, depth, heads) in _VIT_SIZES.items():
+        _REGISTRY[f"mvd_vit_{size}_patch16_224"] = ("vit", dict(
+            img_size=224, patch_size=16, embed_dim=dim, depth=depth,
+            num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+            pos_embed_kind="3d"))
+    # UMT variants: tubelet 1, 8 frames, interpolated checkpoint pos table
+    # (/root/reference/other_models/UMT/modeling_finetune.py)
+    for size in ("base", "large"):
+        dim, depth, heads = _VIT_SIZES[size]
+        _REGISTRY[f"umt_vit_{size}_patch16_224"] = ("vit", dict(
+            img_size=224, patch_size=16, embed_dim=dim, depth=depth,
+            num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+            tubelet_size=1, all_frames=8, pos_embed_kind="umt"))
     for size, (dim, depth, heads) in _VIT_SIZES.items():
         name = f"pretrain_videomae_{size}_patch16_224"
         ddim, dheads = _MAE_DECODER[size]

@@ -268,3 +268,77 @@ class PatchEmbed(nn.Module):
         y = jnp.dot(x, kernel.astype(self.dtype),
                     preferred_element_type=jnp.float32)
         return (y + bias.astype(jnp.float32)).astype(self.dtype)
+
+
+def sincos_1d_mae(dim: int, positions: np.ndarray,
+                  scale: float = None) -> np.ndarray:
+    """MAE-style 1D sincos: [sin block | cos block] (NOT interleaved).
+
+    Matches get_1d_sincos_pos_embed_from_grid
+    (/root/reference/other_models/MVD/modeling_finetune.py:113-133).
+    """
+    omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    pos = positions.reshape(-1).astype(np.float64)
+    if scale is not None:
+        pos = pos * scale
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def sincos_3d_pos_embed(dim: int, grid_size: int, t_size: int,
+                        scale_t: float = None) -> np.ndarray:
+    """MVD 3D sincos: temporal dim/4 + spatial 3*dim/4 (2D: h half, w half),
+    [T, H, W] token order.  Matches get_3d_sincos_pos_embed
+    (/root/reference/other_models/MVD/modeling_finetune.py:24-69).
+    Returns (1, t*g*g, dim) float32.
+    """
+    assert dim % 4 == 0
+    dim_sp, dim_t = dim // 4 * 3, dim // 4
+    gh = np.arange(grid_size, dtype=np.float64)
+    gw = np.arange(grid_size, dtype=np.float64)
+    grid_w, grid_h = np.meshgrid(gw, gh)          # w varies fastest
+    emb_h = sincos_1d_mae(dim_sp // 2, grid_h)    # (g*g, dim_sp/2)
+    emb_w = sincos_1d_mae(dim_sp // 2, grid_w)
+    spatial = np.concatenate([emb_h, emb_w], axis=1)          # (g*g, dim_sp)
+    temporal = sincos_1d_mae(dim_t, np.arange(t_size, dtype=np.float64),
+                             scale=scale_t)                   # (t, dim_t)
+    temporal = np.repeat(temporal[:, None, :], grid_size ** 2, axis=1)
+    spatial = np.repeat(spatial[None, :, :], t_size, axis=0)
+    pos = np.concatenate([temporal, spatial], axis=-1)
+    return pos.reshape(1, -1, dim).astype(np.float32)
+
+
+def umt_pos_embed(num_patches: int, dim: int, cur_frames: int,
+                  patch_size: int = 16) -> np.ndarray:
+    """UMT pos table: sincos generated at the CHECKPOINT geometry (T=8,
+    P=14, pre_n_position 1568/2048) then bicubic-spatial / linear-temporal
+    interpolated to the runtime grid.  Matches
+    /root/reference/other_models/UMT/modeling_finetune.py:195-239 (uses
+    torch's resamplers for bit parity; the table is a setup-time constant).
+    Returns (1, num_patches, dim) float32.
+    """
+    pre_n = 2048 if patch_size == 14 else 1568
+    table = sincos_pos_embed(pre_n, dim)          # (1, pre_n, dim)
+    if num_patches // cur_frames * 8 != pre_n and cur_frames != -1:
+        import torch
+        import torch.nn.functional as F
+        T, P = 8, 14
+        new_p = int((num_patches // cur_frames) ** 0.5)
+        t = torch.from_numpy(table).reshape(-1, T, P, P, dim)
+        t = t.reshape(-1, P, P, dim).permute(0, 3, 1, 2)
+        t = F.interpolate(t, size=(new_p, new_p), mode="bicubic",
+                          align_corners=False)
+        t = t.permute(0, 2, 3, 1).reshape(-1, T, new_p, new_p, dim)
+        table = t.flatten(1, 3).numpy()
+    if cur_frames not in (-1, 8):
+        import torch
+        import torch.nn.functional as F
+        T = 8
+        P = int((num_patches // cur_frames) ** 0.5)
+        t = torch.from_numpy(np.asarray(table)).reshape(-1, T, P, P, dim)
+        t = t.permute(0, 2, 3, 4, 1).reshape(-1, dim, T)
+        t = F.interpolate(t, size=cur_frames, mode="linear")
+        t = t.reshape(1, P, P, dim, cur_frames).permute(0, 4, 1, 2, 3)
+        table = t.flatten(1, 3).numpy()
+    return np.asarray(table, np.float32)

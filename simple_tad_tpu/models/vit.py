@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from simple_tad_tpu.models.layers import (
-    Block, LayerNormFp32, PatchEmbed, sincos_pos_embed, trunc_normal_init)
+    Block, LayerNormFp32, PatchEmbed, sincos_3d_pos_embed, sincos_pos_embed,
+    trunc_normal_init, umt_pos_embed)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,12 @@ class ViTConfig:
     dtype: Any = jnp.float32
     scan_blocks: bool = True
     remat: bool = False
+    # variant knobs: pos-embed family and optional CLS token
+    #   sincos — VideoMAE (modeling_finetune.py:195-205)
+    #   3d     — MVD (other_models/MVD/modeling_finetune.py:24-69)
+    #   umt    — UMT (other_models/UMT/modeling_finetune.py:195-239)
+    pos_embed_kind: str = "sincos"
+    use_cls_token: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -110,8 +117,27 @@ class VisionTransformer(nn.Module):
                              (1, cfg.num_patches, cfg.embed_dim))
             tokens = tokens + pos.astype(cfg.dtype)
         else:
-            pos = sincos_pos_embed(cfg.num_patches, cfg.embed_dim)
+            if cfg.pos_embed_kind == "3d":
+                pos = sincos_3d_pos_embed(
+                    cfg.embed_dim, cfg.img_size // cfg.patch_size,
+                    cfg.all_frames // cfg.tubelet_size)
+            elif cfg.pos_embed_kind == "umt":
+                pos = umt_pos_embed(cfg.num_patches, cfg.embed_dim,
+                                    cfg.all_frames // cfg.tubelet_size,
+                                    cfg.patch_size)
+            else:
+                pos = sincos_pos_embed(cfg.num_patches, cfg.embed_dim)
             tokens = tokens + jnp.asarray(pos, cfg.dtype)
+
+        if cfg.use_cls_token:
+            # cls prepended AFTER pos add: no pos embed on cls
+            # (MVD modeling_finetune.py:432-436)
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, 1, cfg.embed_dim))
+            cls = jnp.broadcast_to(cls.astype(cfg.dtype),
+                                   (tokens.shape[0], 1, cfg.embed_dim))
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+
         if cfg.drop_rate > 0.0:
             tokens = nn.Dropout(cfg.drop_rate)(tokens,
                                                deterministic=deterministic)
@@ -121,8 +147,10 @@ class VisionTransformer(nn.Module):
         # final_reduction semantics (modeling_finetune.py:267-272, 323-330):
         # fc_norm  -> norm is Identity, LN applied after mean-pool
         # cls/none -> LN applied to the token sequence
+        # with a CLS token the mean pool excludes it (MVD :446-451)
         if cfg.final_reduction == "fc_norm":
-            pooled = jnp.mean(tokens, axis=1)
+            pooled = jnp.mean(tokens[:, 1:] if cfg.use_cls_token else tokens,
+                              axis=1)
             return LayerNormFp32(cfg.embed_dim, dtype=cfg.dtype,
                                  name="fc_norm")(pooled)
         tokens = LayerNormFp32(cfg.embed_dim, dtype=cfg.dtype,

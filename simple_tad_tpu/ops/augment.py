@@ -381,3 +381,89 @@ def train_augment(video_u8, key, *, crop_size: int = 224,
     if reprob > 0:
         x = random_erasing(x, k3, probability=reprob)
     return x.astype(dtype)
+
+
+# --------------------------------------------- pretrain (MAE/DAPT) paths ---
+
+def group_multi_scale_crop(video, key, out_size: int,
+                           scales=(1.0, 0.875, 0.75, 0.66),
+                           max_distort: int = 1):
+    """TSN-style GroupMultiScaleCrop as a batched device op.
+
+    Semantics of /root/reference/transforms.py:91-165: crop sizes =
+    base_size * scales (snapped to out_size when within 3px), (w, h) pairs
+    with |i - j| <= max_distort, uniform pair choice, one of 13 fixed
+    offsets, bilinear resize to out_size; clip-consistent per sample.
+    video: (B, T, H, W, C) float [0,255].
+    """
+    B, T, H, W, C = video.shape
+    base = min(H, W)
+    sizes = [int(base * s) for s in scales]
+    crop_hs = [out_size if abs(s - out_size) < 3 else s for s in sizes]
+    crop_ws = [out_size if abs(s - out_size) < 3 else s for s in sizes]
+    pairs = [(w, h) for i, h in enumerate(crop_hs)
+             for j, w in enumerate(crop_ws) if abs(i - j) <= max_distort]
+    pair_arr = jnp.asarray(pairs, jnp.float32)              # (P, 2) [w, h]
+
+    kpair, koff = jax.random.split(key)
+    pair_idx = jax.random.randint(kpair, (B,), 0, len(pairs))
+    off_idx = jax.random.randint(koff, (B,), 0, 13)
+
+    crop_w = pair_arr[pair_idx, 0]                          # (B,)
+    crop_h = pair_arr[pair_idx, 1]
+    w_step = jnp.floor((W - crop_w) / 4.0)
+    h_step = jnp.floor((H - crop_h) / 4.0)
+    # 13 fixed offsets (transforms.py:139-165) as multiples of the steps
+    mult = jnp.asarray([
+        [0, 0], [4, 0], [0, 4], [4, 4], [2, 2],            # corners+center
+        [0, 2], [4, 2], [2, 4], [2, 0],                    # side centers
+        [1, 1], [3, 1], [1, 3], [3, 3],                    # quarters
+    ], jnp.float32)                                        # (13, 2) [w, h]
+    off_w = mult[off_idx, 0] * w_step                      # (B,)
+    off_h = mult[off_idx, 1] * h_step
+
+    xs_out = jnp.arange(out_size, dtype=jnp.float32)
+
+    def one(clip, cw, ch, ow, oh):
+        # PIL crop + resize(BILINEAR): src = off + (out + 0.5)*crop/out - 0.5
+        sx = ow + (xs_out + 0.5) * (cw / out_size) - 0.5
+        sy = oh + (xs_out + 0.5) * (ch / out_size) - 0.5
+        gx, gy = jnp.meshgrid(sx, sy)                       # (out, out)
+        return jax.vmap(
+            lambda img: _bilinear_sample(img, gx, gy, 0.0))(clip)
+
+    return jax.vmap(one)(video, crop_w, crop_h, off_w, off_h)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "dtype"))
+def pretrain_augment_orig(video_u8, key, *, crop_size: int = 224,
+                          dtype=jnp.float32):
+    """MAE 'orig' pipeline (datasets_frame.py:13-39): GroupMultiScaleCrop
+    [1, .875, .75, .66] -> /255 -> ImageNet normalize."""
+    x = group_multi_scale_crop(video_u8.astype(jnp.float32), key, crop_size)
+    x = x / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "magnitude",
+                                             "num_layers", "dtype"))
+def pretrain_augment_align(video_u8, key, *, crop_size: int = 224,
+                           magnitude: float = 6.0, num_layers: int = 3,
+                           dtype=jnp.float32):
+    """DAPT 'transforms_finetune_align' pipeline (dota.py:697-716 +
+    DataAugmentationForVideoMAE_LightCrop): pad_wide -> DRIVE RandAugment
+    on 70% of clips -> light GroupMultiScaleCrop -> normalize."""
+    k1, k2, k3, kgate = jax.random.split(key, 4)
+    B = video_u8.shape[0]
+    x = video_u8.astype(jnp.float32)
+    x = pad_wide_and_resize(x, k1, crop_size)
+    aug = rand_augment_drive(x, k2, magnitude=magnitude,
+                             num_layers=num_layers)
+    use_aug = jax.random.uniform(kgate, (B,)) > 0.3        # dota.py:706
+    x = jnp.where(use_aug[:, None, None, None, None], aug, x)
+    x = group_multi_scale_crop(
+        x, k3, crop_size, scales=(1, 1, 0.975, 0.95, 0.9, 0.875, 0.85))
+    x = x / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x.astype(dtype)

@@ -150,6 +150,8 @@ def torch_to_vit_params(sd: Mapping[str, np.ndarray], *, depth: int,
         head_w = sd["head.weight"]
         if num_classes is None or head_w.shape[0] == num_classes:
             params["head"] = {"kernel": _t(head_w), "bias": sd["head.bias"]}
+    if "cls_token" in sd:
+        params["cls_token"] = sd["cls_token"]
     if "pos_embed" in sd:
         # learnable pos-embed checkpoints only; sincos is regenerated.
         params["pos_embed"] = sd["pos_embed"]

@@ -59,6 +59,8 @@ def make_synthetic_dota(root: str, *, n_clips: int = 3,
                       ("ego: lateral" if c % 2 else "other: unknown")}
     with open(os.path.join(ds, split), "w") as f:
         f.write("\n".join(names) + "\n")
+    with open(os.path.join(ds, "all_split.txt"), "a") as f:
+        f.write("\n".join(names) + "\n")
     meta_name = ("metadata_train.json" if "train" in split
                  else "metadata_val.json")
     with open(os.path.join(ds, meta_name), "w") as f:

@@ -1,0 +1,111 @@
+"""Grouped analysis + data tools on the synthetic fixture."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_synthetic_dota
+
+
+@pytest.fixture(scope="module")
+def dota_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dota_an"))
+    return make_synthetic_dota(root, n_clips=4, frames_per_clip=30,
+                               h=48, w=64)
+
+
+@pytest.fixture(scope="module")
+def dataset(dota_root):
+    from simple_tad_tpu.data.frame_datasets import FrameDataset, read_dota_clips
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    return FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                        orig_fps=10, view_step=1, crop_size=32)
+
+
+def test_build_frame_annotations(dataset):
+    from simple_tad_tpu.eval.analysis import build_frame_annotations
+    df = build_frame_annotations(dataset)
+    assert len(df) == len(dataset)
+    assert set(df.columns) >= {"clip", "filename", "label", "ego", "night",
+                               "clip_lvl_cat", "clip_lvl_ego"}
+    assert set(df["clip_lvl_cat"].unique()) <= {"LA", "UK"}
+
+
+def test_grouped_metrics_and_report(dataset, tmp_path):
+    import pandas as pd
+    from simple_tad_tpu.eval.analysis import (build_frame_annotations,
+                                              grouped_metrics, show_metrics)
+    anno = build_frame_annotations(dataset)
+    rng = np.random.default_rng(0)
+    # predictions correlated with labels
+    probs = np.clip(anno["label"] * 0.5 + rng.random(len(anno)) * 0.5, 1e-6,
+                    1 - 1e-6)
+    logits_risk = np.log(probs)
+    logits_safe = np.log(1 - probs)
+    preds = pd.DataFrame({
+        "clip": anno["clip"], "filename": anno["filename"],
+        "logits_safe": logits_safe, "logits_risk": logits_risk,
+        "label": anno["label"], "ttc": 0.0})
+    groups = grouped_metrics(preds, anno)
+    assert "TOTAL" in groups and groups["TOTAL"]["auroc"] > 0.8
+    assert "ego" in groups and "day" in groups
+    assert any(k.startswith("cat:") for k in groups)
+
+    out_dir = str(tmp_path / "p")
+    os.makedirs(out_dir)
+    preds.to_csv(os.path.join(out_dir, "predictions.csv"), index=False)
+    report = show_metrics(out_dir, dataset=dataset)
+    assert "TOTAL" in report
+    assert os.path.exists(os.path.join(out_dir, "group_metrics.txt"))
+
+
+def test_single_class_group_sentinel():
+    import pandas as pd
+    from simple_tad_tpu.eval.analysis import _group_metrics
+    m = _group_metrics(np.ones(10), np.linspace(0.1, 0.9, 10))
+    assert m["auroc"] == -11        # all-anomalous sentinel (metrics.py:60)
+    m = _group_metrics(np.zeros(10), np.linspace(0.1, 0.9, 10))
+    assert m["auroc"] == -10
+
+
+def test_frames2zip_and_check(tmp_path):
+    import cv2
+    from simple_tad_tpu.cli.data_tools import check_zips, frames2zip
+    src = tmp_path / "src" / "clipA"
+    os.makedirs(src)
+    for t in range(3):
+        cv2.imwrite(str(src / f"{t:06d}.jpg"),
+                    np.full((8, 8, 3), t * 30, np.uint8))
+    dst = str(tmp_path / "out" / "frames")
+    n = frames2zip(str(tmp_path / "src"), dst)
+    assert n == 1
+    zf = os.path.join(dst, "clipA", "images.zip")
+    with zipfile.ZipFile(zf) as z:
+        assert len(z.namelist()) == 3
+    assert check_zips(str(tmp_path / "out")) == []
+    with open(zf, "r+b") as f:          # corrupt it
+        f.seek(30)
+        f.write(b"\xde\xad\xbe\xef")
+    assert check_zips(str(tmp_path / "out")) == [zf]
+
+
+def test_halfsplit(dota_root):
+    from simple_tad_tpu.cli.data_tools import halfsplit
+    h1, h2 = halfsplit(dota_root, "val_split.txt")
+    assert len(h1) + len(h2) == 4
+    assert set(h1).isdisjoint(h2)
+    assert os.path.exists(os.path.join(dota_root, "dataset",
+                                       "val_split_half1.txt"))
+
+
+def test_anno_for_predictions_cli(dota_root, tmp_path):
+    from simple_tad_tpu.cli.data_tools import main
+    out = str(tmp_path / "anno.csv")
+    main(["anno-for-predictions", "--data_set", "DoTA",
+          "--data_path", dota_root, "--split", "val_split.txt",
+          "--out", out])
+    import pandas as pd
+    df = pd.read_csv(out)
+    assert len(df) > 0 and "clip_lvl_cat" in df.columns

@@ -1,0 +1,131 @@
+"""Pre-training data pipeline + CLI end-to-end on the synthetic fixture."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.fixtures import make_synthetic_dota
+
+
+@pytest.fixture(scope="module")
+def dota_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dota_pre"))
+    return make_synthetic_dota(root, n_clips=2, frames_per_clip=30,
+                               h=48, w=64)
+
+
+def test_zip_source_and_window_dataset(dota_root):
+    from simple_tad_tpu.data.frame_datasets import read_dota_clips
+    from simple_tad_tpu.data.pretrain_datasets import (
+        PretrainWindowDataset, ZipClipSource)
+    clips = read_dota_clips(dota_root, "all_split.txt")
+    src = ZipClipSource(clips, short_size=40)
+    ds = PretrainWindowDataset(src, view_len=16, target_fps=10, orig_fps=10,
+                               view_step=4)
+    # 30 frames, window 16, stride 4 -> floor((30-16)/4)+1 = 4 per clip
+    assert len(ds) == 2 * 4
+    w = ds.get_window(0)
+    assert w.shape[0] == 16 and w.ndim == 4
+    assert min(w.shape[1], w.shape[2]) == 40   # short side normalized
+
+
+def test_video_file_source(tmp_path):
+    from simple_tad_tpu.data.pretrain_datasets import VideoFileSource
+    path = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                         (64, 48))
+    for t in range(25):
+        img = np.full((48, 64, 3), t * 10 % 255, np.uint8)
+        wr.write(img)
+    wr.release()
+    src = VideoFileSource([path], short_size=40)
+    assert src.num_frames(0) == 25
+    win = src.read_window(0, [0, 2, 4, 6])
+    assert win.shape[0] == 4
+    assert min(win.shape[1], win.shape[2]) == 40
+    # frame values increase with index (brightness ramp)
+    assert win[0].mean() < win[-1].mean()
+
+
+def test_pretrain_loader_batches(dota_root):
+    from simple_tad_tpu.data.frame_datasets import read_dota_clips
+    from simple_tad_tpu.data.pretrain_datasets import (PretrainLoader,
+                                                       PretrainWindowDataset,
+                                                       ZipClipSource)
+    clips = read_dota_clips(dota_root, "all_split.txt")
+    ds = PretrainWindowDataset(ZipClipSource(clips, short_size=40),
+                               view_len=16, target_fps=10, orig_fps=10,
+                               view_step=4)
+    loader = PretrainLoader(ds, 4, window_size=(8, 2, 2), mask_ratio=0.75,
+                            num_threads=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.steps_per_epoch() == 2
+    b = batches[0]
+    assert b["video_u8"].shape[0] == 4 and b["video_u8"].shape[1] == 16
+    assert b["mask"].shape == (4, 8 * 4)
+    assert (b["mask"].sum(1) == loader.num_masked).all()
+
+
+def test_group_multi_scale_crop_identity_on_square():
+    from simple_tad_tpu.ops.augment import group_multi_scale_crop
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.integers(0, 256, (2, 2, 40, 40, 3))
+                        .astype(np.float32))
+    out = group_multi_scale_crop(video, jax.random.PRNGKey(0), 32,
+                                 scales=(1.0,))
+    assert out.shape == (2, 2, 32, 32, 3)
+    # full-image crop -> equals plain 2-tap bilinear resize (cv2 semantics;
+    # PIL antialiases on downscale, a documented distribution-level diff)
+    want = np.stack([
+        np.stack([cv2.resize(np.asarray(video[b, t]), (32, 32),
+                             interpolation=cv2.INTER_LINEAR)
+                  for t in range(2)]) for b in range(2)])
+    np.testing.assert_allclose(np.asarray(out), want, atol=1.0)
+
+
+def test_pretrain_augment_pipelines():
+    from simple_tad_tpu.ops.augment import (pretrain_augment_align,
+                                            pretrain_augment_orig)
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 4, 40, 64, 3), dtype=np.uint8))
+    for fn in (pretrain_augment_orig, pretrain_augment_align):
+        out = fn(u8, jax.random.PRNGKey(0), crop_size=32, dtype=jnp.float32)
+        assert out.shape == (2, 4, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pretrain_cli_one_epoch(dota_root, tmp_path):
+    from simple_tad_tpu.cli.pretrain import main
+    out = str(tmp_path / "pre_run")
+    state = main([
+        "--data_set", "DoTA", "--data_path", dota_root,
+        "--model", "pretrain_videomae_small_patch16_224",
+        "--input_size", "32", "--num_frames", "16", "--batch_size", "4",
+        "--epochs", "1", "--warmup_epochs", "0", "--mask_ratio", "0.75",
+        "--sampling_rate", "4", "--decoder_depth", "2",
+        "--output_dir", out, "--dtype", "float32", "--attn_impl", "naive",
+        "--num_workers", "2",
+    ])
+    assert int(state.step) == 2
+    assert os.path.exists(os.path.join(out, "checkpoint-last"))
+
+
+def test_cyclic_zip():
+    from simple_tad_tpu.data.pretrain_datasets import CyclicZip
+
+    def longer(_e):
+        return iter(range(5))
+
+    def shorter(e):
+        return iter([f"s{e}_{i}" for i in range(2)])
+
+    pairs = list(CyclicZip(longer, shorter).epoch(0))
+    assert len(pairs) == 5                     # ends with the longer one
+    assert [p[0] for p in pairs] == [0, 1, 2, 3, 4]
+    shorts = [p[1] for p in pairs]
+    assert len(set(shorts)) == 5               # short side cycled w/ reshuffle
