@@ -73,7 +73,7 @@ class FrameEvaluator:
         if fold_norm:
             from simple_tad_tpu.utils.fold_norm import fold_normalization
             params = fold_normalization(params, self.mean, self.std)
-        self.params = params
+        self.params = jax.device_put(params)
 
         @functools.partial(jax.jit, static_argnames=())
         def _score(params, frames_u8, window_idx):

@@ -53,6 +53,17 @@ def _register_vit():
             img_size=224, patch_size=16, embed_dim=dim, depth=depth,
             num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
             tubelet_size=1, all_frames=8, pos_embed_kind="umt"))
+    # InternVideo2 single-modality family (patch 14, tubelet 1, 8 frames)
+    # (/root/reference/other_models/InternVideo2_single_modality/models/
+    #  internvideo2.py:590-666)
+    iv2_sizes = {"small": (384, 12, 6, 4.0), "base": (768, 12, 12, 4.0),
+                 "large": (1024, 24, 16, 4.0), "1B": (1408, 40, 16, 48 / 11),
+                 "6B": (3200, 48, 25, 4.0)}
+    for size, (dim, depth, heads, ratio) in iv2_sizes.items():
+        _REGISTRY[f"internvideo2_{size}_patch14_224"] = ("iv2", dict(
+            img_size=224, patch_size=14, embed_dim=dim, depth=depth,
+            num_heads=heads, mlp_ratio=ratio, attn_pool_num_heads=16,
+            clip_embed_dim=768))
     for size, (dim, depth, heads) in _VIT_SIZES.items():
         name = f"pretrain_videomae_{size}_patch16_224"
         ddim, dheads = _MAE_DECODER[size]
@@ -81,9 +92,20 @@ def create_model(name: str, **overrides):
     kind, base = _REGISTRY[name]
     kw = dict(base)
     kw.update(overrides)
+
+    def _fit(config_cls, mapping):
+        fields = {f.name for f in dataclasses.fields(config_cls)}
+        return {k: v for k, v in mapping.items() if k in fields}
+
     if kind == "vit":
-        return VisionTransformer(ViTConfig(**kw))
+        return VisionTransformer(ViTConfig(**_fit(ViTConfig, kw)))
     if kind == "mae":
         from simple_tad_tpu.models.mae import MAEConfig, PretrainVideoMAE
-        return PretrainVideoMAE(MAEConfig(**kw))
+        return PretrainVideoMAE(MAEConfig(**_fit(MAEConfig, kw)))
+    if kind == "iv2":
+        from simple_tad_tpu.models.internvideo2 import (InternVideo2,
+                                                        IV2Config)
+        if "all_frames" in kw:
+            kw.setdefault("num_frames", kw.pop("all_frames"))
+        return InternVideo2(IV2Config(**_fit(IV2Config, kw)))
     raise KeyError(kind)

@@ -1,0 +1,346 @@
+"""InternVideo2 single-modality video transformer (S/B/L/1B/6B).
+
+Behavioral reference:
+/root/reference/other_models/InternVideo2_single_modality/models/internvideo2.py
+(InternVideo2 :372, Block :249, Attention :151, CrossAttention :18,
+AttentionPoolingBlock :109, RMSNorm :119, LayerScale :133, PatchEmbed :302).
+
+Family differences vs VideoMAE: patch 14, tubelet 1, 8 frames; CLS token;
+joint or separable LEARNABLE pos-embed initialized from MAE-style sincos
+(a parameter — loaded from checkpoints, unlike VideoMAE's fixed buffer);
+RMSNorm blocks with QK-normalization; LayerScale with fp32-forced gamma;
+attention-pooling head projecting to clip_embed_dim -> fc_norm -> Linear.
+
+TPU-first: scanned blocks, fused attention via ops/attention (the
+reference's fused DropoutAddRMSNorm/FusedMLP flash-attn ops are just
+kernel fusions of the same math — XLA fuses the RMSNorm chain on its own),
+fp32 statistics everywhere bf16 runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_tad_tpu.models.layers import (drop_path, sincos_3d_pos_embed,
+                                          trunc_normal_init)
+from simple_tad_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+class RMSNorm(nn.Module):
+    """fp32-statistics RMSNorm (internvideo2.py:119-131)."""
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        return (scale.astype(jnp.float32) * y).astype(self.dtype)
+
+
+class LayerNormEps(nn.Module):
+    dim: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class IV2Attention(nn.Module):
+    """Packed-QKV attention with optional QK RMS-normalization over the
+    flattened head dim (internvideo2.py:151-219)."""
+    dim: int
+    num_heads: int
+    qkv_bias: bool = False
+    qk_normalization: bool = True
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02),
+                       bias_init=nn.initializers.zeros, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, C)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, C)
+        if self.qk_normalization:
+            q = RMSNorm(C, dtype=self.dtype, name="q_norm")(q)
+            k = RMSNorm(C, dtype=self.dtype, name="k_norm")(k)
+        q = q.reshape(B, N, self.num_heads, head_dim)
+        k = k.reshape(B, N, self.num_heads, head_dim)
+        v = v.reshape(B, N, self.num_heads, head_dim)
+        out = dot_product_attention(q, k, v, scale=head_dim ** -0.5,
+                                    impl=self.attn_impl,
+                                    deterministic=deterministic)
+        out = out.reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(0.02),
+                        bias_init=nn.initializers.zeros, name="proj")(out)
+
+
+class IV2Block(nn.Module):
+    """x += dp(ls1 * attn(rms1(x))); x += dp(ls2 * mlp(rms2(x)))
+    (internvideo2.py:249-295).  LayerScale multiplies in fp32."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    init_values: float = 1e-5
+    qk_normalization: bool = True
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True):
+        use_dp = not deterministic
+
+        def ls(name, h):
+            gamma = self.param(name, nn.initializers.constant(
+                self.init_values), (self.dim,))
+            return (h.astype(jnp.float32)
+                    * gamma.astype(jnp.float32)).astype(self.dtype)
+
+        h = IV2Attention(self.dim, self.num_heads, self.qkv_bias,
+                         self.qk_normalization, self.attn_impl, self.dtype,
+                         name="attn")(
+            RMSNorm(self.dim, dtype=self.dtype, name="norm1")(x),
+            deterministic)
+        h = ls("gamma_1", h)
+        if use_dp:
+            h = drop_path(h, drop_path_rate, deterministic,
+                          self.make_rng("droppath"))
+        x = x + h
+
+        hid = int(self.dim * self.mlp_ratio)
+        h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(hid, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02), name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02), name="fc2")(h)
+        h = ls("gamma_2", h)
+        if use_dp:
+            h = drop_path(h, drop_path_rate, deterministic,
+                          self.make_rng("droppath"))
+        return x + h
+
+
+class AttentionPooling(nn.Module):
+    """Mean-query cross-attention head -> out_dim
+    (AttentiveBlock/AttentionPoolingBlock + CrossAttention,
+    internvideo2.py:18-117).  Separate bias-free q/k/v projections with
+    standalone bias params (all three biases exist, unlike VideoMAE)."""
+    dim: int
+    num_heads: int
+    out_dim: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        xq = LayerNormEps(C, dtype=self.dtype, name="norm_q")(
+            jnp.mean(x, axis=1, keepdims=True))
+        xk = LayerNormEps(C, dtype=self.dtype, name="norm_k")(x)
+        xv = LayerNormEps(C, dtype=self.dtype, name="norm_v")(x)
+
+        def proj(name, h):
+            kernel = self.param(f"{name}_kernel", trunc_normal_init(0.02),
+                                (C, C))
+            out = jnp.dot(h, kernel.astype(self.dtype),
+                          preferred_element_type=self.dtype)
+            if self.qkv_bias:
+                bias = self.param(f"{name}_bias", nn.initializers.zeros,
+                                  (C,))
+                out = out + bias.astype(self.dtype)
+            return out
+
+        q = proj("q", xq).reshape(B, 1, self.num_heads, head_dim)
+        k = proj("k", xk).reshape(B, N, self.num_heads, head_dim)
+        v = proj("v", xv).reshape(B, N, self.num_heads, head_dim)
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(
+            self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=self.dtype)
+        out = out.reshape(B, 1, C)[:, 0]
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(0.02),
+                        name="proj")(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class IV2Config:
+    img_size: int = 224
+    patch_size: int = 14
+    in_chans: int = 3
+    num_classes: int = 2
+    embed_dim: int = 1408
+    depth: int = 40
+    num_heads: int = 16
+    mlp_ratio: float = 48 / 11
+    qkv_bias: bool = False
+    init_values: float = 1e-5
+    qk_normalization: bool = True
+    attn_pool_num_heads: int = 16
+    clip_embed_dim: int = 768
+    num_frames: int = 8
+    tubelet_size: int = 1
+    sep_pos_embed: bool = False
+    drop_path_rate: float = 0.25
+    fc_drop_rate: float = 0.0
+    init_scale: float = 0.001
+    attn_impl: str = "auto"
+    dtype: Any = jnp.float32
+    scan_blocks: bool = True
+    remat: bool = False
+
+    @property
+    def grid_size(self):
+        return (self.num_frames // self.tubelet_size,
+                self.img_size // self.patch_size,
+                self.img_size // self.patch_size)
+
+    @property
+    def num_patches(self):
+        t, h, w = self.grid_size
+        return t * h * w
+
+
+class InternVideo2(nn.Module):
+    cfg: IV2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, T, H, W, C) normalized video -> (B, num_classes)."""
+        cfg = self.cfg
+        B, T, H, W, C = x.shape
+        p, tb = cfg.patch_size, cfg.tubelet_size
+        nt, nh, nw = cfg.grid_size
+
+        kernel = self.param("patch_kernel",
+                            nn.initializers.lecun_normal(),
+                            (tb * p * p * cfg.in_chans, cfg.embed_dim))
+        pbias = self.param("patch_bias", nn.initializers.zeros,
+                           (cfg.embed_dim,))
+        xp = x.reshape(B, nt, tb, nh, p, nw, p, C)
+        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        xp = xp.reshape(B, cfg.num_patches,
+                        tb * p * p * C).astype(cfg.dtype)
+        tokens = (jnp.dot(xp, kernel.astype(cfg.dtype),
+                          preferred_element_type=jnp.float32)
+                  + pbias.astype(jnp.float32)).astype(cfg.dtype)
+
+        cls = self.param("cls_token", trunc_normal_init(0.02),
+                         (1, 1, cfg.embed_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(cfg.dtype),
+                              (B, 1, cfg.embed_dim)), tokens], axis=1)
+
+        # learnable pos-embed, sincos-initialized (internvideo2.py:556-584).
+        if cfg.sep_pos_embed:
+            def init_sp(key, shape, dtype=jnp.float32):
+                tab = sincos_3d_pos_embed(cfg.embed_dim, nh, 1)[0, :, :]
+                # 2D: spatial table from the 3d util's spatial part is not
+                # identical; use MAE 2D directly:
+                from simple_tad_tpu.models.layers import sincos_1d_mae
+                gw, gh = np.meshgrid(np.arange(nh, dtype=np.float64),
+                                     np.arange(nh, dtype=np.float64))
+                emb = np.concatenate(
+                    [sincos_1d_mae(cfg.embed_dim // 2, gh),
+                     sincos_1d_mae(cfg.embed_dim // 2, gw)], axis=1)
+                return jnp.asarray(emb[None], dtype)
+
+            def init_t(key, shape, dtype=jnp.float32):
+                from simple_tad_tpu.models.layers import sincos_1d_mae
+                emb = sincos_1d_mae(cfg.embed_dim,
+                                    np.arange(nt, dtype=np.float64))
+                return jnp.asarray(emb[None], dtype)
+
+            pos_sp = self.param("pos_embed_spatial", init_sp,
+                                (1, nh * nw, cfg.embed_dim))
+            pos_t = self.param("pos_embed_temporal", init_t,
+                               (1, nt, cfg.embed_dim))
+            pos_cls = self.param("pos_embed_cls", nn.initializers.zeros,
+                                 (1, 1, cfg.embed_dim))
+            pos = (jnp.tile(pos_sp, (1, nt, 1))
+                   + jnp.repeat(pos_t, nh * nw, axis=1))
+            pos = jnp.concatenate([pos_cls, pos], axis=1)
+        else:
+            def init_joint(key, shape, dtype=jnp.float32):
+                tab = sincos_3d_pos_embed(cfg.embed_dim, nh, nt)
+                zero = np.zeros((1, 1, cfg.embed_dim), np.float32)
+                return jnp.asarray(np.concatenate([zero, tab], axis=1),
+                                   dtype)
+            pos = self.param("pos_embed", init_joint,
+                             (1, cfg.num_patches + 1, cfg.embed_dim))
+        tokens = tokens + pos.astype(cfg.dtype)
+
+        dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        block = IV2Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                         cfg.qkv_bias, cfg.init_values,
+                         cfg.qk_normalization, cfg.attn_impl, cfg.dtype,
+                         name="blocks")
+
+        def body(blk, carry, rate):
+            return blk(carry, rate, deterministic), None
+
+        if cfg.remat:
+            body = nn.remat(body, prevent_cse=False)
+        if cfg.scan_blocks:
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True,
+                                       "droppath": True},
+                           in_axes=0, length=cfg.depth)
+            tokens, _ = scan(block, tokens, dpr)
+        else:
+            for i in range(cfg.depth):
+                tokens = IV2Block(
+                    cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                    cfg.qkv_bias, cfg.init_values, cfg.qk_normalization,
+                    cfg.attn_impl, cfg.dtype, name=f"blocks_{i}")(
+                        tokens, dpr[i], deterministic)
+
+        feats = AttentionPooling(cfg.embed_dim, cfg.attn_pool_num_heads,
+                                 cfg.clip_embed_dim, qkv_bias=True,
+                                 dtype=cfg.dtype,
+                                 name="clip_projector")(tokens)
+        feats = LayerNormEps(cfg.clip_embed_dim, eps=1e-5, dtype=cfg.dtype,
+                             name="fc_norm")(feats)
+        if cfg.fc_drop_rate > 0:
+            feats = nn.Dropout(cfg.fc_drop_rate)(feats,
+                                                 deterministic=deterministic)
+        head_std = 0.02 * cfg.init_scale if cfg.init_scale > 0 else 0.02
+        return nn.Dense(cfg.num_classes, dtype=jnp.float32,
+                        kernel_init=trunc_normal_init(head_std),
+                        name="head")(feats.astype(jnp.float32))
+
+    def init_params(self, rng, batch_size: int = 1):
+        cfg = self.cfg
+        dummy = jnp.zeros((batch_size, cfg.num_frames, cfg.img_size,
+                           cfg.img_size, cfg.in_chans), cfg.dtype)
+        return self.init(rng, dummy, deterministic=True)["params"]

@@ -41,7 +41,11 @@ def fold_normalization(params: Dict[str, Any], mean=IMAGENET_MEAN,
     m = (np.asarray(mean, np.float64) / np.asarray(std, np.float64))[c_of_row]
     new_kernel = kernel * s[:, None]
     new_bias = bias - (kernel * m[:, None]).sum(axis=0)
-    pe["kernel"] = new_kernel.astype(np.asarray(pe["kernel"]).dtype)
-    pe["bias"] = new_bias.astype(np.asarray(pe["bias"]).dtype)
+    import jax.numpy as jnp
+    # return device arrays: numpy leaves in a jit arg would be re-uploaded
+    # host->device on EVERY call (a silent ~2x step-time tax over a tunnel)
+    pe["kernel"] = jnp.asarray(
+        new_kernel.astype(np.asarray(pe["kernel"]).dtype))
+    pe["bias"] = jnp.asarray(new_bias.astype(np.asarray(pe["bias"]).dtype))
     params[patch_embed_key] = pe
     return params

@@ -233,7 +233,10 @@ def merge_params(init_params: Dict[str, Any],
 
 def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
                         num_classes: Optional[int] = None) -> Dict[str, Any]:
-    """One-call loader: read .pth, remap, convert, merge over init params."""
+    """One-call loader: read .pth, remap, convert, merge over init params.
+    Returns DEVICE arrays (numpy leaves in a jit arg would re-upload on
+    every call)."""
+    import jax
     cfg = model.cfg
     sd = load_torch_state_dict(path)
     loaded = torch_to_vit_params(
@@ -242,4 +245,78 @@ def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
         final_reduction=cfg.final_reduction)
     if "pos_embed" in loaded and not cfg.use_learnable_pos_emb:
         loaded.pop("pos_embed")
-    return merge_params(params, loaded)
+    return jax.device_put(merge_params(params, loaded))
+
+
+def torch_to_iv2_params(sd: Mapping[str, np.ndarray], *, depth: int
+                        ) -> Dict[str, Any]:
+    """Torch state dict -> flax params for InternVideo2
+    (other_models/InternVideo2_single_modality/models/internvideo2.py).
+
+    Unlike VideoMAE, the IV2 pos-embed is a learnable parameter and IS
+    loaded; RMSNorm layers carry only a weight (scale)."""
+
+    def stack(fmt):
+        return _stack([sd[fmt.format(i)] for i in range(depth)])
+
+    blocks: Dict[str, Any] = {
+        "norm1": {"scale": stack("blocks.{}.norm1.weight")},
+        "norm2": {"scale": stack("blocks.{}.norm2.weight")},
+        "gamma_1": stack("blocks.{}.ls1.gamma"),
+        "gamma_2": stack("blocks.{}.ls2.gamma"),
+        "attn": {
+            "qkv": {"kernel": _stack(
+                [_t(sd[f"blocks.{i}.attn.qkv.weight"])
+                 for i in range(depth)])},
+            "proj": {"kernel": _stack(
+                [_t(sd[f"blocks.{i}.attn.proj.weight"])
+                 for i in range(depth)]),
+                "bias": stack("blocks.{}.attn.proj.bias")},
+        },
+        "fc1": {"kernel": _stack([_t(sd[f"blocks.{i}.mlp.fc1.weight"])
+                                  for i in range(depth)]),
+                "bias": stack("blocks.{}.mlp.fc1.bias")},
+        "fc2": {"kernel": _stack([_t(sd[f"blocks.{i}.mlp.fc2.weight"])
+                                  for i in range(depth)]),
+                "bias": stack("blocks.{}.mlp.fc2.bias")},
+    }
+    if "blocks.0.attn.qkv.bias" in sd:
+        blocks["attn"]["qkv"]["bias"] = stack("blocks.{}.attn.qkv.bias")
+    if "blocks.0.attn.q_norm.weight" in sd:
+        blocks["attn"]["q_norm"] = {
+            "scale": stack("blocks.{}.attn.q_norm.weight")}
+        blocks["attn"]["k_norm"] = {
+            "scale": stack("blocks.{}.attn.k_norm.weight")}
+
+    params: Dict[str, Any] = {
+        "patch_kernel": _conv3d_to_patch_kernel(sd["patch_embed.proj.weight"]),
+        "patch_bias": sd["patch_embed.proj.bias"],
+        "cls_token": sd["cls_token"],
+        "blocks": blocks,
+        "clip_projector": {
+            "norm_q": {"scale": sd["clip_projector.norm1_q.weight"],
+                       "bias": sd["clip_projector.norm1_q.bias"]},
+            "norm_k": {"scale": sd["clip_projector.norm1_k.weight"],
+                       "bias": sd["clip_projector.norm1_k.bias"]},
+            "norm_v": {"scale": sd["clip_projector.norm1_v.weight"],
+                       "bias": sd["clip_projector.norm1_v.bias"]},
+            "q_kernel": _t(sd["clip_projector.cross_attn.q.weight"]),
+            "k_kernel": _t(sd["clip_projector.cross_attn.k.weight"]),
+            "v_kernel": _t(sd["clip_projector.cross_attn.v.weight"]),
+            "q_bias": sd["clip_projector.cross_attn.q_bias"],
+            "k_bias": sd["clip_projector.cross_attn.k_bias"],
+            "v_bias": sd["clip_projector.cross_attn.v_bias"],
+            "proj": {"kernel": _t(sd["clip_projector.cross_attn.proj.weight"]),
+                     "bias": sd["clip_projector.cross_attn.proj.bias"]},
+        },
+        "fc_norm": {"scale": sd["fc_norm.weight"],
+                    "bias": sd["fc_norm.bias"]},
+    }
+    for key in ("pos_embed", "pos_embed_spatial", "pos_embed_temporal",
+                "pos_embed_cls"):
+        if key in sd:
+            params[key] = sd[key]
+    if "head.weight" in sd:
+        params["head"] = {"kernel": _t(sd["head.weight"]),
+                         "bias": sd["head.bias"]}
+    return params
