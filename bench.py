@@ -39,22 +39,28 @@ def main():
         return model.apply({"params": params}, windows,
                            deterministic=True).astype(jnp.float32)
 
+    # DISTINCT input buffers per timed call: the serving runtime here
+    # memoizes repeat executions of identical (program, inputs), which
+    # would make fixed-input timing loops report fantasy numbers.
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 256, (128, 224, 224, 3), dtype=np.uint8))
+    reps, per_rep = 3, 8
+    frame_bufs = [jnp.asarray(rng.integers(0, 256, (128, 224, 224, 3),
+                                           dtype=np.uint8))
+                  for _ in range(reps * per_rep + 1)]
 
     best = 0.0
     results = {}
     for batch in (64,):
         idx = np.stack([np.arange(i, i + 16) for i in range(batch)])
         idx = jnp.asarray(idx % 128, jnp.int32)
-        score(params, frames, idx).block_until_ready()   # compile
+        score(params, frame_bufs[-1], idx).block_until_ready()   # compile
         times = []
-        for _ in range(3):
+        for rep in range(reps):
             t0 = time.perf_counter()
-            for _ in range(8):
-                score(params, frames, idx).block_until_ready()
-            times.append((time.perf_counter() - t0) / 8)
+            for i in range(per_rep):
+                score(params, frame_bufs[rep * per_rep + i],
+                      idx).block_until_ready()
+            times.append((time.perf_counter() - t0) / per_rep)
         wps = batch / min(times)
         results[batch] = round(wps, 1)
         best = max(best, wps)

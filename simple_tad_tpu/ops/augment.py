@@ -467,3 +467,157 @@ def pretrain_augment_align(video_u8, key, *, crop_size: int = 224,
     x = x / 255.0
     x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     return x.astype(dtype)
+
+
+# ------------------------------------- action-recognition (class) paths ---
+
+def _op_posterize(clip, mag, _key):
+    """Keep (8 - int(mag/10*4)) high bits (timm posterize_increasing)."""
+    bits = jnp.clip(4 - mag / 10.0 * 4.0, 0, 4) + 4
+    shift = (8 - jnp.floor(bits)).astype(jnp.int32)
+    vals = jnp.clip(clip, 0, 255).astype(jnp.int32)
+    return ((vals >> shift) << shift).astype(clip.dtype)
+
+
+def _op_solarize(clip, mag, _key):
+    """Invert pixels above threshold 256 - mag/10*256 (timm increasing)."""
+    thresh = 256.0 - mag / 10.0 * 256.0
+    return jnp.where(clip >= thresh, 255.0 - clip, clip)
+
+
+def _op_translate_x(clip, mag, key):
+    frac = mag / 10.0 * 0.45
+    frac = jnp.where(jax.random.bernoulli(key), frac, -frac)
+    shift = frac * clip.shape[2]
+    return _warp_clip(clip, (1.0, 0.0, shift, 0.0, 1.0, 0.0))
+
+
+def _op_translate_y(clip, mag, key):
+    frac = mag / 10.0 * 0.45
+    frac = jnp.where(jax.random.bernoulli(key), frac, -frac)
+    shift = frac * clip.shape[1]
+    return _warp_clip(clip, (1.0, 0.0, 0.0, 0.0, 1.0, shift))
+
+
+_RA_FULL_OPS = _RA_OPS + [_op_posterize, _op_solarize,
+                          _op_translate_x, _op_translate_y]
+
+
+def rand_augment_full(video, key, *, magnitude: float = 7.0,
+                      mstd: float = 0.5, num_layers: int = 4,
+                      prob: float = 0.5):
+    """Unrestricted RandAugment (timm 'rand-m7-n4-mstd0.5-inc1' as used by
+    the action-recognition pipeline, kinetics.py _aug_frame) — the DRIVE
+    10 ops plus posterize/solarize/translate."""
+    B = video.shape[0]
+    keys = jax.random.split(key, B)
+    n_ops = len(_RA_FULL_OPS)
+
+    def per_clip(clip, k):
+        def layer(i, state):
+            clip, k = state
+            k, kop, kmag, kapply, kparam = jax.random.split(k, 5)
+            op_idx = jax.random.randint(kop, (), 0, n_ops)
+            mag = jnp.clip(magnitude + mstd * jax.random.normal(kmag),
+                           0.0, 10.0)
+            out = jax.lax.switch(op_idx, list(_RA_FULL_OPS), clip, mag,
+                                 kparam)
+            out = jnp.clip(out, 0.0, 255.0)
+            use = jax.random.bernoulli(kapply, prob)
+            return jnp.where(use, out, clip), k
+
+        clip, _ = jax.lax.fori_loop(0, num_layers, layer, (clip, k))
+        return clip
+
+    return jax.vmap(per_clip)(video, keys)
+
+
+def random_resized_crop(video, key, out_size: int,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision-style RandomResizedCrop, clip-consistent per sample
+    (video_transforms.random_resized_crop used by kinetics _aug_frame)."""
+    B, T, H, W, C = video.shape
+    karea, kratio, kx, ky = jax.random.split(key, 4)
+    area = H * W
+    target = jax.random.uniform(karea, (B,), minval=scale[0],
+                                maxval=scale[1]) * area
+    log_r = jax.random.uniform(kratio, (B,), minval=jnp.log(ratio[0]),
+                               maxval=jnp.log(ratio[1]))
+    r = jnp.exp(log_r)
+    w = jnp.sqrt(target * r)
+    h = jnp.sqrt(target / r)
+    w = jnp.clip(w, 8, W)
+    h = jnp.clip(h, 8, H)
+    x0 = jax.random.uniform(kx, (B,)) * (W - w)
+    y0 = jax.random.uniform(ky, (B,)) * (H - h)
+
+    xs_out = jnp.arange(out_size, dtype=jnp.float32)
+
+    def one(clip, cw, ch, ox, oy):
+        sx = ox + (xs_out + 0.5) * (cw / out_size) - 0.5
+        sy = oy + (xs_out + 0.5) * (ch / out_size) - 0.5
+        gx, gy = jnp.meshgrid(sx, sy)
+        return jax.vmap(lambda img: _bilinear_sample(img, gx, gy, 0.0))(clip)
+
+    return jax.vmap(one)(video, w, h, x0, y0)
+
+
+def random_hflip(video, key, prob: float = 0.5):
+    """Per-sample horizontal flip, clip-consistent."""
+    B = video.shape[0]
+    do = jax.random.bernoulli(key, prob, (B,))
+    flipped = video[:, :, :, ::-1]
+    return jnp.where(do[:, None, None, None, None], flipped, video)
+
+
+def mixup_cutmix(video, labels, key, *, num_classes: int,
+                 mixup_alpha: float = 0.8, cutmix_alpha: float = 1.0,
+                 switch_prob: float = 0.5, prob: float = 1.0,
+                 label_smoothing: float = 0.1):
+    """Batch mixup/cutmix with soft targets (reference mixup.py:100-316,
+    active only in class fine-tuning, run_class_finetuning.py:300-307).
+
+    Mixes each sample with its batch-flipped partner; one lambda per batch
+    (timm Mixup default batch mode).  Returns (mixed_video, soft_targets).
+    """
+    B = video.shape[0]
+    kuse, kswitch, klam1, klam2, kx, ky = jax.random.split(key, 6)
+    onehot = jax.nn.one_hot(labels, num_classes)
+    off = label_smoothing / num_classes
+    onehot = onehot * (1.0 - label_smoothing) + off
+
+    use = jax.random.bernoulli(kuse, prob)
+    use_cutmix = jax.random.bernoulli(kswitch, switch_prob)
+    lam_mix = jax.random.beta(klam1, mixup_alpha, mixup_alpha)
+    lam_cut = jax.random.beta(klam2, cutmix_alpha, cutmix_alpha)
+
+    flipped = video[::-1]
+    H, W = video.shape[2], video.shape[3]
+
+    # mixup blend
+    mixed_blend = video * lam_mix + flipped * (1.0 - lam_mix)
+
+    # cutmix box (timm rand_bbox): area ratio 1-lam, centered randomly
+    cut_rat = jnp.sqrt(1.0 - lam_cut)
+    cut_h = (H * cut_rat).astype(jnp.int32)
+    cut_w = (W * cut_rat).astype(jnp.int32)
+    cy = jax.random.randint(ky, (), 0, H)
+    cx = jax.random.randint(kx, (), 0, W)
+    y1 = jnp.clip(cy - cut_h // 2, 0, H)
+    y2 = jnp.clip(cy + cut_h // 2, 0, H)
+    x1 = jnp.clip(cx - cut_w // 2, 0, W)
+    x2 = jnp.clip(cx + cut_w // 2, 0, W)
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    in_box = ((ys[:, None] >= y1) & (ys[:, None] < y2)
+              & (xs[None, :] >= x1) & (xs[None, :] < x2))
+    mixed_cut = jnp.where(in_box[None, None, :, :, None], flipped, video)
+    lam_cut_eff = 1.0 - ((y2 - y1) * (x2 - x1)) / (H * W)
+
+    mixed = jnp.where(use_cutmix, mixed_cut, mixed_blend)
+    lam = jnp.where(use_cutmix, lam_cut_eff, lam_mix)
+    targets = onehot * lam + onehot[::-1] * (1.0 - lam)
+
+    video_out = jnp.where(use, mixed, video)
+    targets_out = jnp.where(use, targets, onehot)
+    return video_out, targets_out
