@@ -47,9 +47,19 @@ def decode_zip_frames(zip_path: str, names: Sequence[str],
     """Read ``names`` members from ``zip_path`` and decode to RGB uint8
     (H, W, 3) arrays, optionally cv2-resizing to ``resize`` (w, h).
 
-    IO is sequential (zipfile isn't thread-safe per handle); decode is
-    parallel.
+    Uses the native C++ decoder (native/decoder.cpp: cached zip directory +
+    threaded libjpeg) when built; falls back to python zipfile + a cv2
+    thread pool.
     """
+    from simple_tad_tpu.data import native
+    frames = native.decode_zip_frames_native(zip_path, names)
+    if frames is not None:
+        if resize is None:
+            return list(frames)
+        futs = [_pool().submit(cv2.resize, f, resize, None, 0, 0,
+                               interpolation) for f in frames]
+        return [f.result() for f in futs]
+
     with zipfile.ZipFile(zip_path, "r") as zf:
         raw = [zf.read(n) for n in names]
     futs = [_pool().submit(_decode_one, b, resize, interpolation) for b in raw]

@@ -41,6 +41,7 @@ class TrainState:
 
 def make_finetune_train_step(model, tx, criterion: Callable, *,
                              ema_decay: Optional[float] = None,
+                             grad_norm_heads: Optional[int] = None,
                              donate: bool = True):
     """-> jit'd step(state, batch) -> (state, metrics).
 
@@ -74,6 +75,11 @@ def make_finetune_train_step(model, tx, criterion: Callable, *,
         acc = jnp.mean(
             (jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
         metrics = {"loss": loss, "grad_norm": grad_norm, "acc": acc}
+        if grad_norm_heads is not None:
+            # per-layer/per-head tracer (utils.py:813-1011 equivalent)
+            from simple_tad_tpu.utils.diagnostics import grad_norm_summary
+            metrics["grad_norms"] = grad_norm_summary(grads,
+                                                      grad_norm_heads)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state, rng=rng,
                                   ema_params=ema_params)

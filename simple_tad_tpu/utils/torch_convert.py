@@ -320,3 +320,69 @@ def torch_to_iv2_params(sd: Mapping[str, np.ndarray], *, depth: int
         params["head"] = {"kernel": _t(sd["head.weight"]),
                          "bias": sd["head.bias"]}
     return params
+
+
+def convert_vivit_state_dict(hf_sd: Mapping[str, np.ndarray], *,
+                             depth: int = 12, num_temp_vivit: int = 16,
+                             num_temp_target: int = 8) -> Dict[str, np.ndarray]:
+    """HuggingFace ViViT state dict -> VideoMAE-style torch-naming dict.
+
+    Mirrors /root/reference/other_models/ViViT/ckpt_vivit.py:56-190:
+    separate q/k/v projections merge into one packed qkv weight (k bias
+    dropped -> implicit zero), layernorm renames, CLS token dropped, and
+    the learnable pos-embed loses its CLS slot and is trilinearly
+    interpolated from 16 to 8 temporal slots.  Feed the result to
+    torch_to_vit_params (with use_learnable_pos_emb=True on the model).
+    """
+    out: Dict[str, np.ndarray] = {}
+    basic = {
+        "embeddings.patch_embeddings.projection.weight":
+            "patch_embed.proj.weight",
+        "embeddings.patch_embeddings.projection.bias":
+            "patch_embed.proj.bias",
+        "layernorm.weight": "fc_norm.weight",
+        "layernorm.bias": "fc_norm.bias",
+    }
+    per_block = {
+        "layernorm_before.weight": "norm1.weight",
+        "layernorm_before.bias": "norm1.bias",
+        "attention.output.dense.weight": "attn.proj.weight",
+        "attention.output.dense.bias": "attn.proj.bias",
+        "layernorm_after.weight": "norm2.weight",
+        "layernorm_after.bias": "norm2.bias",
+        "intermediate.dense.weight": "mlp.fc1.weight",
+        "intermediate.dense.bias": "mlp.fc1.bias",
+        "output.dense.weight": "mlp.fc2.weight",
+        "output.dense.bias": "mlp.fc2.bias",
+    }
+    for src, dst in basic.items():
+        if src in hf_sd:
+            out[dst] = np.asarray(hf_sd[src])
+    for i in range(depth):
+        pre = f"encoder.layer.{i}."
+        for src, dst in per_block.items():
+            out[f"blocks.{i}.{dst}"] = np.asarray(hf_sd[pre + src])
+        q_w = np.asarray(hf_sd[pre + "attention.attention.query.weight"])
+        k_w = np.asarray(hf_sd[pre + "attention.attention.key.weight"])
+        v_w = np.asarray(hf_sd[pre + "attention.attention.value.weight"])
+        out[f"blocks.{i}.attn.qkv.weight"] = np.concatenate(
+            [q_w, k_w, v_w], axis=0)
+        out[f"blocks.{i}.attn.q_bias"] = np.asarray(
+            hf_sd[pre + "attention.attention.query.bias"])
+        out[f"blocks.{i}.attn.v_bias"] = np.asarray(
+            hf_sd[pre + "attention.attention.value.bias"])
+
+    pos_key = "embeddings.position_embeddings"
+    if pos_key in hf_sd:
+        import torch
+        import torch.nn.functional as F
+        pos = torch.from_numpy(np.asarray(hf_sd[pos_key], np.float32))
+        pos = pos[:, 1:]                                   # drop CLS slot
+        n, d = pos.shape[1], pos.shape[2]
+        hw = int(round((n // num_temp_vivit) ** 0.5))
+        pos = pos.reshape(1, num_temp_vivit, hw, hw, d).permute(0, 4, 1, 2, 3)
+        pos = F.interpolate(pos, size=(num_temp_target, hw, hw),
+                            mode="trilinear", align_corners=False)
+        pos = pos.permute(0, 2, 3, 4, 1).reshape(1, -1, d)
+        out["pos_embed"] = pos.numpy()
+    return out
