@@ -56,10 +56,11 @@ def main():
         score(params, frame_bufs[-1], idx).block_until_ready()   # compile
         times = []
         for rep in range(reps):
+            # pipelined (dispatch-then-block) — the eval engine's pattern
             t0 = time.perf_counter()
-            for i in range(per_rep):
-                score(params, frame_bufs[rep * per_rep + i],
-                      idx).block_until_ready()
+            outs = [score(params, frame_bufs[rep * per_rep + i], idx)
+                    for i in range(per_rep)]
+            jax.block_until_ready(outs)
             times.append((time.perf_counter() - t0) / per_rep)
         wps = batch / min(times)
         results[batch] = round(wps, 1)

@@ -78,7 +78,8 @@ def main(argv=None):
     if cfg.output_dir:
         os.makedirs(cfg.output_dir, exist_ok=True)
         res.save(os.path.join(cfg.output_dir, "predictions.csv"),
-                 os.path.join(cfg.output_dir, "stats.txt"))
+                 os.path.join(cfg.output_dir, "stats.txt"),
+                 plots_dir=cfg.output_dir)
         cfg.save(os.path.join(cfg.output_dir, "params.json"))
         print(f"wrote {cfg.output_dir}/predictions.csv")
     return res

@@ -90,7 +90,8 @@ def main(argv=None):
     train_ds, val_ds = build_datasets(cfg)
     loader = TrainLoader(train_ds, cfg.batch_size, seed=cfg.seed,
                          nb_samples_per_epoch=cfg.nb_samples_per_epoch,
-                         num_threads=cfg.num_workers)
+                         num_threads=cfg.num_workers,
+                         num_sample=cfg.num_sample)
     steps_per_epoch = loader.steps_per_epoch()
     print(f"train windows: {len(train_ds)}  steps/epoch: {steps_per_epoch}")
 
@@ -111,7 +112,7 @@ def main(argv=None):
         wd_schedule=O.array_schedule(wd_sched),
         weight_decay=cfg.weight_decay, layer_decay=cfg.layer_decay,
         depth=model.cfg.depth, betas=tuple(cfg.opt_betas), eps=cfg.opt_eps,
-        clip_grad=cfg.clip_grad)
+        clip_grad=cfg.clip_grad, freeze_layers=cfg.freeze_layers)
     import optax
     if cfg.update_freq > 1:
         tx = optax.MultiSteps(tx, cfg.update_freq)

@@ -44,7 +44,8 @@ class EvalResult:
     windows_per_sec: float
     n_windows: int
 
-    def save(self, preds_file: str, stats_file: Optional[str] = None):
+    def save(self, preds_file: str, stats_file: Optional[str] = None,
+             plots_dir: Optional[str] = None):
         self.rows.to_csv(preds_file, index=False)
         if stats_file:
             with open(stats_file, "w") as f:
@@ -52,6 +53,13 @@ class EvalResult:
                     f.write(f"{k}: {v}\n")
                 f.write(f"n_windows: {self.n_windows}\n")
                 f.write(f"windows_per_sec: {self.windows_per_sec:.2f}\n")
+        if plots_dir:
+            from simple_tad_tpu.eval.plots import save_metric_plots
+            logits = self.rows[["logits_safe", "logits_risk"]].to_numpy()
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            probs = (e / e.sum(axis=1, keepdims=True))[:, 1]
+            save_metric_plots(self.metrics, probs,
+                              self.rows["label"].to_numpy(), plots_dir)
 
 
 class FrameEvaluator:
@@ -107,28 +115,36 @@ class FrameEvaluator:
                                   frames.dtype)])
         return jnp.asarray(frames), f
 
-    def score_view(self, dataset: FrameDataset, view: ClipEvalView
-                   ) -> np.ndarray:
-        """-> (W, num_classes) float32 logits for all windows of one clip."""
+    def score_view_async(self, dataset: FrameDataset, view: ClipEvalView):
+        """Dispatch all window chunks of one clip; -> list of (device
+        logits, valid_count).  Dispatch-then-fetch keeps the device busy
+        and hides per-call host latency (do NOT fetch between chunks)."""
         frames = dataset.decode_clip_frames(
             view, resize_on_host=self.resize_on_host)
         dev_frames, _ = self._device_frames(frames)
         W = view.window_idx.shape[0]
         B = self.batch_size
-        out = []
+        pending = []
         for s in range(0, W, B):
             chunk = view.window_idx[s:s + B]
-            if chunk.shape[0] < B:   # pad chunk to fixed shape
-                pad = np.zeros((B - chunk.shape[0], chunk.shape[1]),
-                               chunk.dtype)
-                padded = np.concatenate([chunk, pad])
-                logits = self._score(self.params, dev_frames,
-                                     jnp.asarray(padded))
-                out.append(np.asarray(logits)[: chunk.shape[0]])
-            else:
-                out.append(np.asarray(
-                    self._score(self.params, dev_frames, jnp.asarray(chunk))))
-        return np.concatenate(out)
+            valid = chunk.shape[0]
+            if valid < B:   # pad chunk to fixed shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - valid, chunk.shape[1]),
+                                     chunk.dtype)])
+            pending.append((self._score(self.params, dev_frames,
+                                        jnp.asarray(chunk)), valid))
+        return pending
+
+    @staticmethod
+    def gather_async(pending) -> np.ndarray:
+        return np.concatenate([np.asarray(lg)[:valid]
+                               for lg, valid in pending])
+
+    def score_view(self, dataset: FrameDataset, view: ClipEvalView
+                   ) -> np.ndarray:
+        """-> (W, num_classes) float32 logits for all windows of one clip."""
+        return self.gather_async(self.score_view_async(dataset, view))
 
     def evaluate(self, dataset: FrameDataset, *, exact_metrics: bool = False
                  ) -> EvalResult:
@@ -139,15 +155,23 @@ class FrameEvaluator:
                                   "logits_risk", "label", "ttc")}
         t0 = time.perf_counter()
         n_windows = 0
-        for view in views:
-            logits = self.score_view(dataset, view)
-            n_windows += logits.shape[0]
-            rows["clip"].extend([view.clip.name] * logits.shape[0])
-            rows["filename"].extend(view.frame_names)
-            rows["logits_safe"].extend(logits[:, 0].tolist())
-            rows["logits_risk"].extend(logits[:, 1].tolist())
-            rows["label"].extend(view.labels.tolist())
-            rows["ttc"].extend(np.asarray(view.ttc).tolist())
+        # software pipeline: while clip k's chunks run on device, decode and
+        # dispatch clip k+1; fetch k's logits afterwards.
+        prev = None   # (view, pending)
+        for view in views + [None]:
+            pending = (self.score_view_async(dataset, view)
+                       if view is not None else None)
+            if prev is not None:
+                pview, ppending = prev
+                logits = self.gather_async(ppending)
+                n_windows += logits.shape[0]
+                rows["clip"].extend([pview.clip.name] * logits.shape[0])
+                rows["filename"].extend(pview.frame_names)
+                rows["logits_safe"].extend(logits[:, 0].tolist())
+                rows["logits_risk"].extend(logits[:, 1].tolist())
+                rows["label"].extend(pview.labels.tolist())
+                rows["ttc"].extend(np.asarray(pview.ttc).tolist())
+            prev = (view, pending) if view is not None else None
         elapsed = time.perf_counter() - t0
 
         df = pd.DataFrame(rows)

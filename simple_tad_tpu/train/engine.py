@@ -37,7 +37,8 @@ class TrainLoader:
     def __init__(self, dataset: FrameDataset, batch_size: int, *,
                  seed: int = 0, nb_samples_per_epoch: int = 0,
                  num_threads: int = 4, prefetch: int = 4,
-                 resize_scale: float = 1.0):
+                 resize_scale: float = 1.0, num_sample: int = 1,
+                 balanced_ratio: Optional[float] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -45,6 +46,14 @@ class TrainLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.resize_scale = resize_scale
+        # repeated augmentation: each window decoded once, duplicated
+        # num_sample times in the batch; the device augmentation pipeline
+        # draws independent parameters per copy (multiple_samples_collate,
+        # utils.py:596-621 — effective batch = batch_size * num_sample)
+        self.num_sample = max(int(num_sample), 1)
+        # pos:neg batch composition (BalancedDistributedBatchSampler,
+        # utils.py:1184-1264; off by default like the reference)
+        self.balanced_ratio = balanced_ratio
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
@@ -52,11 +61,32 @@ class TrainLoader:
             n = min(n, self.cap)
         return n // self.batch_size
 
+    def _epoch_order(self, rng) -> np.ndarray:
+        if self.balanced_ratio is None:
+            order = rng.permutation(len(self.dataset))
+            if self.cap:
+                order = order[:self.cap]
+            return order
+        labels = self.dataset.labels
+        pos = np.flatnonzero(labels == 1)
+        neg = np.flatnonzero(labels == 0)
+        n = min(len(self.dataset), self.cap) if self.cap \
+            else len(self.dataset)
+        n_batches = n // self.batch_size
+        k_pos = max(int(round(self.batch_size * self.balanced_ratio)), 1)
+        rows = []
+        for _ in range(n_batches):
+            p = rng.choice(pos, k_pos, replace=len(pos) < k_pos)
+            q = rng.choice(neg, self.batch_size - k_pos,
+                           replace=len(neg) < self.batch_size - k_pos)
+            row = np.concatenate([p, q])
+            rng.shuffle(row)
+            rows.append(row)
+        return np.concatenate(rows) if rows else np.array([], np.int64)
+
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed + epoch_idx)
-        order = rng.permutation(len(self.dataset))
-        if self.cap:
-            order = order[:self.cap]
+        order = self._epoch_order(rng)
         n_batches = len(order) // self.batch_size
         order = order[:n_batches * self.batch_size]
         batches = order.reshape(n_batches, self.batch_size)
@@ -64,16 +94,31 @@ class TrainLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def decode_with_retry(i):
+            # bad samples get a random substitute instead of failing
+            # (dota.py:231-237)
+            for _ in range(5):
+                try:
+                    return self.dataset.get_window_frames(
+                        int(i), final_resize=False,
+                        resize_scale=self.resize_scale)
+                except Exception:
+                    import warnings
+                    warnings.warn(f"window {i} failed to load; substituting")
+                    i = rng.integers(len(self.dataset))
+            raise IOError("too many corrupt samples")
+
         def make_batch(idx_row):
             frames, labels, smoothed, ttc = [], [], [], []
             for i in idx_row:
-                f, s = self.dataset.get_window_frames(
-                    int(i), final_resize=False,
-                    resize_scale=self.resize_scale)
-                frames.append(f)
-                labels.append(s.label)
-                smoothed.append(s.smoothed)
-                ttc.append(s.ttc)
+                f, s = decode_with_retry(i)
+                # repeated augmentation: decode once, duplicate; device augs
+                # draw independent params per copy
+                for _ in range(self.num_sample):
+                    frames.append(f)
+                    labels.append(s.label)
+                    smoothed.append(s.smoothed)
+                    ttc.append(s.ttc)
             return {
                 "video_u8": np.stack(frames),
                 "label": np.asarray(labels, np.int32),

@@ -131,6 +131,7 @@ def create_optimizer(params, *, lr_schedule, wd_schedule=None,
                      layer_decay: float = 1.0, depth: int = 12,
                      betas: Tuple[float, float] = (0.9, 0.999),
                      eps: float = 1e-8, clip_grad: Optional[float] = None,
+                     freeze_layers: Optional[str] = None,
                      ) -> optax.GradientTransformation:
     """AdamW matching the reference's effective update.
 
@@ -155,6 +156,9 @@ def create_optimizer(params, *, lr_schedule, wd_schedule=None,
     if layer_decay < 1.0:
         chain.append(_scale_by_pytree(
             layer_scale_tree(params, layer_decay, depth)))
+    if freeze_layers:
+        chain.append(_scale_by_pytree(
+            freeze_mask_tree(params, freeze_layers, depth)))
     chain.append(optax.scale_by_schedule(lambda step: -lr_schedule(step)))
     return optax.chain(*chain)
 
@@ -162,3 +166,27 @@ def create_optimizer(params, *, lr_schedule, wd_schedule=None,
 def scale_lr_by_batch(base_lr: float, total_batch_size: int) -> float:
     """Linear LR scaling rule (run_frame_finetuning.py:505)."""
     return base_lr * total_batch_size / 256.0
+
+
+def freeze_mask_tree(params, freeze_layers: Optional[str], depth: int):
+    """Update-multiplier pytree implementing --freeze_layers
+    (run_frame_finetuning.py:465-485): 'first N blocks;K' zeroes updates
+    for patch_embed, pos/cls embeddings and the first K blocks (per-layer
+    vector over the scanned stack); everything else trains."""
+    if not freeze_layers:
+        return None
+    if not freeze_layers.startswith("first N blocks"):
+        raise ValueError(f"unknown freeze spec {freeze_layers!r}")
+    k = int(freeze_layers.split(";")[1])
+
+    def mult(path, leaf):
+        names = _path_names(path)
+        if any(n.startswith("blocks") for n in names):
+            d = leaf.shape[0]
+            vec = (np.arange(d) >= k).astype(np.float32)
+            return jnp.asarray(vec.reshape((d,) + (1,) * (leaf.ndim - 1)))
+        if any(n.startswith("patch_embed") or n in NO_DECAY_NAMES
+               for n in names):
+            return jnp.asarray(0.0)
+        return jnp.asarray(1.0)
+    return jax.tree_util.tree_map_with_path(mult, params)

@@ -1,0 +1,91 @@
+"""Freeze-layers, balanced sampling, repeated augmentation, eval plots."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+from simple_tad_tpu.train import losses as L
+from simple_tad_tpu.train import optim as O
+from simple_tad_tpu.train.engine import TrainLoader
+from simple_tad_tpu.train.steps import TrainState, make_finetune_train_step
+
+
+def _tiny():
+    model = VisionTransformer(ViTConfig(
+        img_size=32, all_frames=4, embed_dim=64, depth=3, num_heads=2,
+        num_classes=2, attn_impl="naive"))
+    return model, model.init_params(jax.random.PRNGKey(0))
+
+
+def test_freeze_layers_zeroes_updates():
+    model, params = _tiny()
+    tx = O.create_optimizer(params, lr_schedule=1e-2,
+                            freeze_layers="first N blocks;2",
+                            depth=3)
+    crit = L.create_criterion("crossentropy")
+    step = make_finetune_train_step(model, tx, crit, donate=False)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    batch = {"video": jax.random.normal(jax.random.PRNGKey(2),
+                                        (4, 4, 32, 32, 3)),
+             "label": jnp.asarray([0, 1, 0, 1]),
+             "smoothed": jnp.zeros((4, 2)), "ttc": jnp.zeros(4)}
+    state2, _ = step(state, batch)
+
+    before = np.asarray(params["blocks"]["attn"]["qkv_kernel"])
+    after = np.asarray(state2.params["blocks"]["attn"]["qkv_kernel"])
+    # first 2 blocks frozen, block 2 trains
+    np.testing.assert_array_equal(before[0], after[0])
+    np.testing.assert_array_equal(before[1], after[1])
+    assert np.abs(before[2] - after[2]).max() > 0
+    # patch embed frozen, head trains
+    np.testing.assert_array_equal(
+        np.asarray(params["patch_embed"]["kernel"]),
+        np.asarray(state2.params["patch_embed"]["kernel"]))
+    assert np.abs(np.asarray(params["head"]["kernel"])
+                  - np.asarray(state2.params["head"]["kernel"])).max() > 0
+
+
+@pytest.fixture(scope="module")
+def frame_ds(tmp_path_factory):
+    from simple_tad_tpu.data.frame_datasets import FrameDataset, read_dota_clips
+    from tests.fixtures import make_synthetic_dota
+    root = str(tmp_path_factory.mktemp("opt_dota"))
+    make_synthetic_dota(root, n_clips=2, frames_per_clip=30, h=48, w=64)
+    clips = read_dota_clips(root, "val_split.txt")
+    return FrameDataset(clips, mode="train", view_len=16, target_fps=10,
+                        orig_fps=10, view_step=1, crop_size=32)
+
+
+def test_balanced_loader_ratio(frame_ds):
+    loader = TrainLoader(frame_ds, 8, balanced_ratio=0.5, num_threads=1)
+    batch = next(loader.epoch(0))
+    labels = batch["label"]
+    assert labels.sum() == 4        # 50% positives per batch
+
+
+def test_repeated_augmentation_duplicates(frame_ds):
+    loader = TrainLoader(frame_ds, 4, num_sample=2, num_threads=1)
+    batch = next(loader.epoch(0))
+    assert batch["video_u8"].shape[0] == 8          # 4 windows x 2 copies
+    # consecutive pairs are the same decoded window
+    np.testing.assert_array_equal(batch["video_u8"][0],
+                                  batch["video_u8"][1])
+    assert batch["label"][0] == batch["label"][1]
+
+
+def test_eval_plots_written(tmp_path):
+    from simple_tad_tpu.eval.metrics import binary_metrics
+    from simple_tad_tpu.eval.plots import save_metric_plots
+    rng = np.random.default_rng(0)
+    labels = (rng.random(500) < 0.3).astype(int)
+    probs = np.clip(labels * 0.4 + rng.random(500) * 0.6, 0, 1)
+    m = binary_metrics(probs, labels)
+    written = save_metric_plots(m, probs, labels, str(tmp_path))
+    for k in ("pr", "roc", "confusion", "dist"):
+        assert os.path.exists(written[k])
+        assert os.path.getsize(written[k]) > 1000
