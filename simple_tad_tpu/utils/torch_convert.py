@@ -386,3 +386,88 @@ def convert_vivit_state_dict(hf_sd: Mapping[str, np.ndarray], *,
         pos = pos.permute(0, 2, 3, 4, 1).reshape(1, -1, d)
         out["pos_embed"] = pos.numpy()
     return out
+
+
+def vit_params_to_torch_state_dict(params: Mapping[str, Any], *,
+                                   final_reduction: str = "fc_norm"
+                                   ) -> Dict[str, Any]:
+    """Inverse converter: flax VisionTransformer params -> torch-named
+    state dict (VideoMAE layout), so checkpoints trained here load in the
+    reference/timm ecosystem.  Returns numpy arrays keyed by torch names;
+    wrap with {'model': {k: torch.tensor(v)}} and torch.save for a .pth.
+    """
+    import numpy as np
+
+    def t(a):
+        return np.ascontiguousarray(np.asarray(a).T)
+
+    out: Dict[str, Any] = {}
+    pe = params["patch_embed"]
+    kernel = np.asarray(pe["kernel"])                    # (t*p*p*c, D)
+    d = kernel.shape[1]
+    # infer (t, p, p, c) from the VideoMAE geometry: c=3, t=2, p=16 when
+    # rows == 1536; fall back to cube-root heuristics otherwise
+    rows = kernel.shape[0]
+    c = 3
+    tp = rows // c
+    if tp == 512:
+        tb, p = 2, 16
+    elif tp == 196:
+        tb, p = 1, 14
+    else:
+        tb, p = 1, int(round((tp) ** 0.5))
+    w = kernel.reshape(tb, p, p, c, d).transpose(4, 3, 0, 1, 2)
+    out["patch_embed.proj.weight"] = np.ascontiguousarray(w)
+    out["patch_embed.proj.bias"] = np.asarray(pe["bias"])
+
+    blocks = params["blocks"]
+    depth = np.asarray(blocks["norm1"]["scale"]).shape[0]
+    for i in range(depth):
+        pre = f"blocks.{i}."
+        out[pre + "norm1.weight"] = np.asarray(blocks["norm1"]["scale"][i])
+        out[pre + "norm1.bias"] = np.asarray(blocks["norm1"]["bias"][i])
+        out[pre + "norm2.weight"] = np.asarray(blocks["norm2"]["scale"][i])
+        out[pre + "norm2.bias"] = np.asarray(blocks["norm2"]["bias"][i])
+        out[pre + "attn.qkv.weight"] = t(blocks["attn"]["qkv_kernel"][i])
+        if "q_bias" in blocks["attn"]:
+            out[pre + "attn.q_bias"] = np.asarray(
+                blocks["attn"]["q_bias"][i])
+            out[pre + "attn.v_bias"] = np.asarray(
+                blocks["attn"]["v_bias"][i])
+        out[pre + "attn.proj.weight"] = t(
+            blocks["attn"]["proj"]["kernel"][i])
+        out[pre + "attn.proj.bias"] = np.asarray(
+            blocks["attn"]["proj"]["bias"][i])
+        out[pre + "mlp.fc1.weight"] = t(blocks["mlp"]["fc1"]["kernel"][i])
+        out[pre + "mlp.fc1.bias"] = np.asarray(
+            blocks["mlp"]["fc1"]["bias"][i])
+        out[pre + "mlp.fc2.weight"] = t(blocks["mlp"]["fc2"]["kernel"][i])
+        out[pre + "mlp.fc2.bias"] = np.asarray(
+            blocks["mlp"]["fc2"]["bias"][i])
+        if "gamma_1" in blocks:
+            out[pre + "gamma_1"] = np.asarray(blocks["gamma_1"][i])
+            out[pre + "gamma_2"] = np.asarray(blocks["gamma_2"][i])
+    if final_reduction == "fc_norm" and "fc_norm" in params:
+        out["fc_norm.weight"] = np.asarray(params["fc_norm"]["scale"])
+        out["fc_norm.bias"] = np.asarray(params["fc_norm"]["bias"])
+    elif "norm" in params:
+        out["norm.weight"] = np.asarray(params["norm"]["scale"])
+        out["norm.bias"] = np.asarray(params["norm"]["bias"])
+    if "head" in params:
+        out["head.weight"] = t(params["head"]["kernel"])
+        out["head.bias"] = np.asarray(params["head"]["bias"])
+    if "cls_token" in params:
+        out["cls_token"] = np.asarray(params["cls_token"])
+    if "pos_embed" in params:
+        out["pos_embed"] = np.asarray(params["pos_embed"])
+    return out
+
+
+def save_torch_checkpoint(params: Mapping[str, Any], path: str, *,
+                          final_reduction: str = "fc_norm") -> None:
+    """Write a reference-loadable .pth ({'model': state_dict})."""
+    import torch
+    sd = vit_params_to_torch_state_dict(params,
+                                        final_reduction=final_reduction)
+    torch.save({"model": {k: torch.from_numpy(np.array(v, copy=True))
+                          for k, v in sd.items()}}, path)

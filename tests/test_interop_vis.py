@@ -1,0 +1,92 @@
+"""Round-trip export, standalone inference parity, visualization tools."""
+
+import os
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+from simple_tad_tpu.utils import torch_convert as tc
+
+
+def _model(num_classes=2, depth=2):
+    cfg = ViTConfig(img_size=32, all_frames=4, embed_dim=64, depth=depth,
+                    num_heads=2, num_classes=num_classes, attn_impl="naive")
+    m = VisionTransformer(cfg)
+    return m, m.init_params(jax.random.PRNGKey(0))
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """flax params -> .pth -> load_vit_checkpoint == identity."""
+    model, params = _model()
+    path = str(tmp_path / "export.pth")
+    tc.save_torch_checkpoint(params, path)
+    params2 = tc.load_vit_checkpoint(path, model,
+                                     model.init_params(
+                                         jax.random.PRNGKey(7)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
+    a = np.asarray(model.apply({"params": params}, x))
+    b = np.asarray(model.apply({"params": params2}, x))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_standalone_inference_matches_framework():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import standalone_inference as si
+
+    cfg = ViTConfig(img_size=224, all_frames=16, embed_dim=64, depth=2,
+                    num_heads=2, num_classes=2, attn_impl="naive")
+    model = VisionTransformer(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    video = np.random.default_rng(0).normal(
+        size=(16, 224, 224, 3)).astype(np.float32)
+
+    want = np.asarray(model.apply({"params": params},
+                                  jnp.asarray(video)[None]))[0]
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+    walk("", params)
+    got = np.asarray(si.vit_forward(flat, jnp.asarray(video), depth=2,
+                                    heads=2))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_visualize_overlay_and_gif(tmp_path):
+    import pandas as pd
+    from tests.fixtures import make_synthetic_dota
+    from simple_tad_tpu.cli.visualize import overlay_clip, zip2gif
+
+    root = str(tmp_path / "d")
+    make_synthetic_dota(root, n_clips=1, frames_per_clip=24, h=48, w=64)
+    rng = np.random.default_rng(0)
+    names = [f"{t:06d}.jpg" for t in range(15, 24)]
+    preds = pd.DataFrame({
+        "clip": ["clip_000"] * len(names), "filename": names,
+        "logits_safe": rng.normal(size=len(names)),
+        "logits_risk": rng.normal(size=len(names)),
+        "label": [0] * len(names), "ttc": 0.0})
+    csv = str(tmp_path / "p.csv")
+    preds.to_csv(csv, index=False)
+
+    out = str(tmp_path / "vis")
+    gif = str(tmp_path / "c.gif")
+    n = overlay_clip(root, csv, "clip_000", out, gif=gif)
+    assert n == len(names)
+    assert len(os.listdir(out)) == len(names)
+    assert os.path.getsize(gif) > 500
+
+    g2 = str(tmp_path / "plain.gif")
+    n = zip2gif(os.path.join(root, "frames", "clip_000", "images.zip"), g2)
+    assert n == 24 and os.path.getsize(g2) > 500
