@@ -32,7 +32,7 @@ def main(argv=None):
     from simple_tad_tpu.data.frame_datasets import (
         FrameDataset, read_dada_clips, read_dota_clips)
     from simple_tad_tpu.eval.engine import FrameEvaluator
-    from simple_tad_tpu.utils.torch_convert import load_vit_checkpoint
+    from simple_tad_tpu.utils.torch_convert import load_checkpoint_auto
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model = st.create_model(
@@ -45,7 +45,7 @@ def main(argv=None):
     params = model.init_params(jax.random.PRNGKey(cfg.seed))
     if cfg.finetune:
         if cfg.finetune.endswith(".pth"):
-            params = load_vit_checkpoint(cfg.finetune, model, params)
+            params = load_checkpoint_auto(cfg.finetune, model, params)
         else:
             from simple_tad_tpu.utils.checkpoint import load_weights
             params = load_weights(cfg.finetune, params)

@@ -71,7 +71,7 @@ def main(argv=None):
     from simple_tad_tpu.train.steps import TrainState, make_finetune_train_step
     from simple_tad_tpu.utils import checkpoint as ckpt_utils
     from simple_tad_tpu.utils.logging import (JsonlLogger, TensorboardLogger)
-    from simple_tad_tpu.utils.torch_convert import load_vit_checkpoint
+    from simple_tad_tpu.utils.torch_convert import load_checkpoint_auto
 
     np.random.seed(cfg.seed)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -84,7 +84,7 @@ def main(argv=None):
         dtype=dtype, attn_impl=cfg.attn_impl, remat=cfg.use_checkpoint)
     params = model.init_params(jax.random.PRNGKey(cfg.seed))
     if cfg.finetune:
-        params = load_vit_checkpoint(cfg.finetune, model, params)
+        params = load_checkpoint_auto(cfg.finetune, model, params)
         print(f"initialized from {cfg.finetune}")
 
     train_ds, val_ds = build_datasets(cfg)

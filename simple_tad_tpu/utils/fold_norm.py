@@ -32,9 +32,18 @@ def fold_normalization(params: Dict[str, Any], mean=IMAGENET_MEAN,
     the compute dtype) instead of normalized video.
     """
     params = dict(params)
-    pe = dict(params[patch_embed_key])
-    kernel = np.asarray(pe["kernel"], np.float64)          # (rows, D)
-    bias = np.asarray(pe["bias"], np.float64)
+    if patch_embed_key in params:
+        pe = dict(params[patch_embed_key])
+        kernel_key, bias_key = "kernel", "bias"
+    elif "patch_kernel" in params:
+        # InternVideo2 keeps the patch projection as flat top-level params
+        pe = params
+        patch_embed_key = None
+        kernel_key, bias_key = "patch_kernel", "patch_bias"
+    else:
+        raise KeyError("no patch-embed parameters found to fold into")
+    kernel = np.asarray(pe[kernel_key], np.float64)        # (rows, D)
+    bias = np.asarray(pe[bias_key], np.float64)
     rows = kernel.shape[0]
     c_of_row = np.arange(rows) % in_chans                  # (t,h,w,c) order
     s = 1.0 / (255.0 * np.asarray(std, np.float64))[c_of_row]   # (rows,)
@@ -44,8 +53,14 @@ def fold_normalization(params: Dict[str, Any], mean=IMAGENET_MEAN,
     import jax.numpy as jnp
     # return device arrays: numpy leaves in a jit arg would be re-uploaded
     # host->device on EVERY call (a silent ~2x step-time tax over a tunnel)
-    pe["kernel"] = jnp.asarray(
-        new_kernel.astype(np.asarray(pe["kernel"]).dtype))
-    pe["bias"] = jnp.asarray(new_bias.astype(np.asarray(pe["bias"]).dtype))
-    params[patch_embed_key] = pe
+    new_k = jnp.asarray(
+        new_kernel.astype(np.asarray(pe[kernel_key]).dtype))
+    new_b = jnp.asarray(new_bias.astype(np.asarray(pe[bias_key]).dtype))
+    if patch_embed_key is None:
+        params[kernel_key] = new_k
+        params[bias_key] = new_b
+    else:
+        pe[kernel_key] = new_k
+        pe[bias_key] = new_b
+        params[patch_embed_key] = pe
     return params

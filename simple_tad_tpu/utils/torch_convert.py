@@ -471,3 +471,28 @@ def save_torch_checkpoint(params: Mapping[str, Any], path: str, *,
                                         final_reduction=final_reduction)
     torch.save({"model": {k: torch.from_numpy(np.array(v, copy=True))
                           for k, v in sd.items()}}, path)
+
+
+def load_checkpoint_auto(path: str, model, params: Dict[str, Any]
+                         ) -> Dict[str, Any]:
+    """Model-aware .pth loader: dispatches to the right converter for
+    VisionTransformer / PretrainVideoMAE / InternVideo2 (the iv2 driver
+    family used its own loaders in the reference; one entry point here)."""
+    import jax
+    from simple_tad_tpu.models.internvideo2 import InternVideo2
+    from simple_tad_tpu.models.mae import PretrainVideoMAE
+    if isinstance(model, InternVideo2):
+        sd = load_torch_state_dict(path)
+        loaded = torch_to_iv2_params(sd, depth=model.cfg.depth)
+        if "head" in loaded and "head" in params:
+            if (np.asarray(loaded["head"]["bias"]).shape
+                    != np.asarray(params["head"]["bias"]).shape):
+                loaded.pop("head")
+        return jax.device_put(merge_params(params, loaded))
+    if isinstance(model, PretrainVideoMAE):
+        sd = load_torch_state_dict(path)
+        loaded = torch_to_mae_params(
+            sd, encoder_depth=model.cfg.encoder_depth,
+            decoder_depth=model.cfg.decoder_depth)
+        return jax.device_put(merge_params(params, loaded))
+    return load_vit_checkpoint(path, model, params)
