@@ -249,3 +249,49 @@ class CyclicZip:
                 short_iter = self.make_short(cycle * 1000 + epoch_idx)
                 batch_short = next(short_iter)
             yield batch_long, batch_short
+
+
+def sample_frame_window_indices(n_frames: int, src_fps: float,
+                                new_length: int, target_fps: float,
+                                rng: np.random.Generator) -> np.ndarray:
+    """Random fps-decimated window (kinetics.py sample_frame_window:294-313):
+    step = src_fps // target_fps, random start so the window fits."""
+    step = max(int(src_fps // target_fps), 1)
+    window = new_length * step
+    if n_frames < window:
+        raise ValueError(f"video too short ({n_frames}) for window {window}")
+    start = int(rng.integers(0, n_frames - window + 1))
+    return start + np.arange(new_length) * step
+
+
+def sample_interpolated_window(source, clip_idx: int, new_length: int,
+                               target_fps: float, src_fps: float,
+                               rng: np.random.Generator) -> np.ndarray:
+    """fps-aligned window by LINEAR FRAME INTERPOLATION
+    (kinetics.py sample_interpolated_window:317-366, used by
+    VideoMAE_aligned): desired timestamps t0 + i/target_fps map to float
+    source indices; floor/ceil frames blend with the fractional weight.
+
+    source: any frame source with read_window(clip_idx, indices);
+    returns (new_length, H, W, C) uint8.
+    """
+    n_frames = source.num_frames(clip_idx)
+    duration = n_frames / src_fps
+    window_dur = (new_length - 1) / target_fps
+    if duration < window_dur:
+        raise ValueError(
+            f"video too short ({duration:.2f}s) for {new_length} frames "
+            f"@ {target_fps} fps (needs >= {window_dur:.2f}s)")
+    t0 = float(rng.random()) * (duration - window_dur)
+    f_idx = (t0 + np.arange(new_length) / target_fps) * src_fps
+    i0 = np.floor(f_idx).astype(int)
+    i1 = np.minimum(i0 + 1, n_frames - 1)
+    a = (f_idx - i0).astype(np.float32)
+
+    needed = np.stack([i0, i1], axis=1).reshape(-1)
+    frames = source.read_window(clip_idx, needed).astype(np.float32)
+    floor_f = frames[0::2]
+    ceil_f = frames[1::2]
+    out = (1 - a[:, None, None, None]) * floor_f \
+        + a[:, None, None, None] * ceil_f
+    return out.clip(0, 255).astype(np.uint8)

@@ -36,7 +36,7 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_block(n: int, target: int = 512) -> int:
+def _pick_block(n: int, target: int = 784) -> int:
     """Largest divisor of n that is <= target and a multiple of 8."""
     best = 8
     for d in range(8, min(n, target) + 1, 8):
@@ -214,7 +214,7 @@ def _flash_core_bwd(scale, block_q, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
+def flash_attention(q, k, v, *, scale: float, block_q: int = 784):
     """Non-causal fused attention.  q, k, v: (B, N, H, Dh) -> (B, N, H, Dh)."""
     B, N, H, D = q.shape
     if N > MAX_SINGLE_PASS_N:
