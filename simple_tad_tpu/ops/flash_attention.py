@@ -36,8 +36,16 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_block(n: int, target: int = 784) -> int:
-    """Largest divisor of n that is <= target and a multiple of 8."""
+def _pick_block(n: int, target: int = 0) -> int:
+    """Largest divisor of n that is a multiple of 8, <= target (or, when
+    target==0, <= a VMEM budget for the fp32 (block_q, n) score tile).
+
+    End-to-end A/B on v5e (batch-64 ViT-B eval program): the bigger the
+    query block the better — full-sequence single-pass (1568) beat 784
+    beat 392 (193 / 192 / 189 windows/s)."""
+    if target <= 0:
+        budget_bytes = 10 * 2 ** 20          # score tile cap
+        target = max(128, budget_bytes // (n * 4))
     best = 8
     for d in range(8, min(n, target) + 1, 8):
         if n % d == 0:
@@ -164,7 +172,10 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
         zpad3 = ((0, 0), (0, Np - N), (0, 0))
         q, k, v, do = (jnp.pad(a, zpad3) for a in (q, k, v, do))
         lse3, delta3 = jnp.pad(lse3, zpad3), jnp.pad(delta3, zpad3)
-    bq = _pick_block(Np, block_q)
+    # backward holds ~4 fp32 (block, Np) tiles (s, p, dp, ds): use a
+    # tighter block budget than the forward's single-pass tile
+    bq = _pick_block(Np, block_q if block_q > 0 else
+                     max(128, (3 * 2 ** 20) // (Np * 4)))
 
     qkv_spec_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
     blk_spec = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
@@ -214,7 +225,7 @@ def _flash_core_bwd(scale, block_q, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def flash_attention(q, k, v, *, scale: float, block_q: int = 784):
+def flash_attention(q, k, v, *, scale: float, block_q: int = 0):
     """Non-causal fused attention.  q, k, v: (B, N, H, Dh) -> (B, N, H, Dh)."""
     B, N, H, D = q.shape
     if N > MAX_SINGLE_PASS_N:
