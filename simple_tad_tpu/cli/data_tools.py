@@ -47,6 +47,26 @@ def frames2zip(src: str, dst: str, ext: str = ".jpg") -> int:
     return n
 
 
+def check_videos(root: str, exts=(".mp4", ".mov", ".avi", ".webm")
+                 ) -> List[str]:
+    """Open every video under root with cv2 and read one frame
+    (data_tools/check_kinetics.py equivalent); returns unreadable paths."""
+    import cv2
+    bad = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if os.path.splitext(f)[1].lower() not in exts:
+                continue
+            path = os.path.join(dirpath, f)
+            cap = cv2.VideoCapture(path)
+            ok, _ = cap.read()
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            if not ok or n <= 0:
+                bad.append(path)
+    return bad
+
+
 def check_zips(data_path: str) -> List[str]:
     """CRC-scan every frames/*/images.zip; returns corrupt paths
     (data_tools/dada/check_corrupted_zips.py)."""
@@ -120,6 +140,8 @@ def main(argv=None):
     p.add_argument("--ext", default=".jpg")
     p = sub.add_parser("check-zips")
     p.add_argument("--data_path", required=True)
+    p = sub.add_parser("check-videos")
+    p.add_argument("--data_path", required=True)
     p = sub.add_parser("halfsplit")
     p.add_argument("--data_path", required=True)
     p.add_argument("--split", default="val_split.txt")
@@ -137,6 +159,12 @@ def main(argv=None):
     elif args.cmd == "check-zips":
         bad = check_zips(args.data_path)
         print(f"{len(bad)} corrupt zips")
+        for b in bad:
+            print(b)
+        sys.exit(1 if bad else 0)
+    elif args.cmd == "check-videos":
+        bad = check_videos(args.data_path)
+        print(f"{len(bad)} unreadable videos")
         for b in bad:
             print(b)
         sys.exit(1 if bad else 0)

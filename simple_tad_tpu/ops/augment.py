@@ -312,9 +312,8 @@ def rand_augment_drive(video, key, *, magnitude: float = 6.0,
             op_idx = jax.random.randint(kop, (), 0, NUM_RA_OPS)
             mag = jnp.clip(magnitude + mstd * jax.random.normal(kmag),
                            0.0, 10.0)
-            out = jax.lax.switch(op_idx,
-                                 [functools.partial(op)
-                                  for op in _RA_OPS], clip, mag, kparam)
+            out = jax.lax.switch(op_idx, list(_RA_OPS), clip, mag,
+                                 kparam)
             out = jnp.clip(out, 0.0, 255.0)
             use = jax.random.bernoulli(kapply, prob)
             return jnp.where(use, out, clip), k
