@@ -50,7 +50,7 @@ def main():
 
     best = 0.0
     results = {}
-    for batch in (64,):
+    for batch in (96,):
         idx = np.stack([np.arange(i, i + 16) for i in range(batch)])
         idx = jnp.asarray(idx % 128, jnp.int32)
         score(params, frame_bufs[-1], idx).block_until_ready()   # compile

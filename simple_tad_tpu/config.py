@@ -102,8 +102,13 @@ class FinetuneConfig:
         for f in dataclasses.fields(cls):
             name = "--" + f.name
             if f.type == "bool" or isinstance(f.default, bool):
-                parser.add_argument(name, action="store_true",
-                                    default=f.default)
+                # paired enable/disable flags so default-True options
+                # (auto_resume, dist_eval, save_ckpt) can be turned off
+                group = parser.add_mutually_exclusive_group()
+                group.add_argument(name, dest=f.name, action="store_true",
+                                   default=f.default)
+                group.add_argument("--no_" + f.name, dest=f.name,
+                                   action="store_false")
             elif f.name == "opt_betas":
                 parser.add_argument(name, nargs="+", type=float,
                                     default=list(f.default))

@@ -69,9 +69,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    # normalize AFTER the matmul: a (Bq, Dh) divide instead of a full
+    # (Bq, N) pass over p
+    o_ref[0] = (o / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
 
 
