@@ -65,7 +65,7 @@ class EvalResult:
 class FrameEvaluator:
     """Scores FrameDataset eval views with a jit'd gather+forward program."""
 
-    def __init__(self, model, params, *, batch_size: int = 64,
+    def __init__(self, model, params, *, batch_size: int = 96,
                  frame_bucket: int = 128, dtype=jnp.bfloat16,
                  resize_on_host: bool = False, fold_norm: bool = True,
                  mean=None, std=None):

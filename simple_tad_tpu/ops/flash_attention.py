@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 MAX_SINGLE_PASS_N = 4096
+LOG2E = 1.4426950408889634   # fold into the scale: exp(x) == exp2(x*log2e),
+                             # saving a full score-tile multiply per layer
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -61,12 +63,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (Bq, Np)
+        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (Bq, Np)
     if n_valid < k.shape[0]:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)                    # (Bq, 1)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -74,7 +76,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
     # normalize AFTER the matmul: a (Bq, Dh) divide instead of a full
     # (Bq, N) pass over p
     o_ref[0] = (o / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
+    lse_ref[0] = m + jnp.log2(l)                             # base-2 lse
 
 
 def _flash_fwd_impl(q, k, v, scale, block_q):
@@ -118,11 +120,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (Bq, Np)
+        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (Bq, Np)
     if n_valid < k.shape[0]:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (Bq, Np)
@@ -144,12 +146,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (Np, Bk)
+        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (Np, Bk)
     if n_valid < q.shape[0]:
-        # mask padded *query* rows: their lse is 0, exp(s) could explode.
+        # mask padded *query* rows: their lse is 0, exp2(s) could explode.
         q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(q_idx < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse)                                     # (Np, Bk)
+    p = jnp.exp2(s - lse)                                    # (Np, Bk)
     dv = jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (Bk, D)
