@@ -68,7 +68,14 @@ class FrameEvaluator:
     def __init__(self, model, params, *, batch_size: int = 96,
                  frame_bucket: int = 128, dtype=jnp.bfloat16,
                  resize_on_host: bool = False, fold_norm: bool = True,
-                 mean=None, std=None):
+                 quant8: bool = False, mean=None, std=None):
+        if quant8:
+            # int8 GEMM inference: swap in the quant model + params
+            import dataclasses as _dc
+            from simple_tad_tpu.models.vit import VisionTransformer
+            from simple_tad_tpu.ops.quant import quantize_vit_params
+            model = VisionTransformer(_dc.replace(model.cfg, quant=True))
+            params = quantize_vit_params(params)
         self.model = model
         self.batch_size = batch_size
         self.frame_bucket = frame_bucket

@@ -95,6 +95,27 @@ def drop_path(x, rate, deterministic: bool, rng=None):
     return x * mask / jnp.asarray(keep, x.dtype)
 
 
+class QuantDense(nn.Module):
+    """Int8 weight / dynamic int8 activation Dense (inference-only; params
+    come from ops.quant.quantize_vit_params, never from init)."""
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from simple_tad_tpu.ops.quant import int8_matmul
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (self.in_dim, self.out_dim), jnp.int8)
+        ks = self.param("kernel_scale", nn.initializers.ones,
+                        (self.out_dim,))
+        y = int8_matmul(x, kq, ks)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.out_dim,))
+        return y
+
+
 class Mlp(nn.Module):
     """fc1 -> exact GELU -> fc2 -> dropout (reference Mlp, modeling_finetune.py:37-54).
 
@@ -104,10 +125,16 @@ class Mlp(nn.Module):
     dim: int
     hidden_dim: int
     drop: float = 0.0
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.quant:
+            x = QuantDense(self.dim, self.hidden_dim, name="fc1")(x)
+            x = jax.nn.gelu(x, approximate=False)
+            return QuantDense(self.hidden_dim, self.dim,
+                              name="fc2")(x).astype(self.dtype)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init(0.02),
                      bias_init=nn.initializers.zeros, name="fc1")(x)
@@ -139,6 +166,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     attn_head_dim: Optional[int] = None
     attn_impl: str = "auto"   # auto | naive | xla | pallas
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,10 +176,18 @@ class Attention(nn.Module):
         all_head_dim = head_dim * self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv_kernel = self.param("qkv_kernel", trunc_normal_init(0.02),
-                                (C, 3 * all_head_dim))
-        qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
-                      preferred_element_type=self.dtype)
+        if self.quant:
+            from simple_tad_tpu.ops.quant import int8_matmul
+            qkv_q = self.param("qkv_q", nn.initializers.zeros,
+                               (C, 3 * all_head_dim), jnp.int8)
+            qkv_s = self.param("qkv_scale", nn.initializers.ones,
+                               (3 * all_head_dim,))
+            qkv = int8_matmul(x, qkv_q, qkv_s).astype(self.dtype)
+        else:
+            qkv_kernel = self.param("qkv_kernel", trunc_normal_init(0.02),
+                                    (C, 3 * all_head_dim))
+            qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
+                          preferred_element_type=self.dtype)
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
@@ -171,9 +207,13 @@ class Attention(nn.Module):
             deterministic=deterministic)
         out = out.reshape(B, N, all_head_dim)
 
-        out = nn.Dense(self.dim, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02),
-                       bias_init=nn.initializers.zeros, name="proj")(out)
+        if self.quant:
+            out = QuantDense(all_head_dim, self.dim,
+                             name="proj")(out).astype(self.dtype)
+        else:
+            out = nn.Dense(self.dim, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(0.02),
+                           bias_init=nn.initializers.zeros, name="proj")(out)
         if self.proj_drop > 0.0:
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -197,6 +237,7 @@ class Block(nn.Module):
     init_values: float = 0.0       # 0 => LayerScale disabled
     attn_head_dim: Optional[int] = None
     attn_impl: str = "auto"
+    quant: bool = False
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
@@ -207,7 +248,8 @@ class Block(nn.Module):
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
             proj_drop=self.drop, attn_head_dim=self.attn_head_dim,
-            attn_impl=self.attn_impl, dtype=self.dtype, name="attn")(
+            attn_impl=self.attn_impl, quant=self.quant, dtype=self.dtype,
+            name="attn")(
                 LayerNormFp32(self.dim, self.norm_eps, self.dtype,
                               name="norm1")(x),
                 deterministic=deterministic)
@@ -221,7 +263,7 @@ class Block(nn.Module):
         x = x + attn_out
 
         mlp_out = Mlp(self.dim, int(self.dim * self.mlp_ratio), drop=self.drop,
-                      dtype=self.dtype, name="mlp")(
+                      quant=self.quant, dtype=self.dtype, name="mlp")(
             LayerNormFp32(self.dim, self.norm_eps, self.dtype, name="norm2")(x),
             deterministic=deterministic)
         if self.init_values > 0:

@@ -60,6 +60,9 @@ class ViTConfig:
     #   umt    — UMT (other_models/UMT/modeling_finetune.py:195-239)
     pos_embed_kind: str = "sincos"
     use_cls_token: bool = False
+    # int8 GEMM inference path (ops/quant.py); params must come from
+    # quantize_vit_params — training/init unsupported in quant mode
+    quant: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -78,7 +81,8 @@ class VisionTransformer(nn.Module):
             mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
             qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
             attn_drop=cfg.attn_drop_rate, init_values=cfg.init_values,
-            attn_impl=cfg.attn_impl, dtype=cfg.dtype, name="blocks")
+            attn_impl=cfg.attn_impl, quant=cfg.quant, dtype=cfg.dtype,
+            name="blocks")
 
         def body(blk, carry, rate):
             return blk(carry, rate, deterministic), None
