@@ -57,7 +57,9 @@ def main(argv=None):
                                 ttc_TA=cfg.ttc_TA)
         orig_fps = 10
     elif cfg.data_set in ("DADA2K", "DADA"):
-        clips = read_dada_clips(cfg.data_path, "DADA2K_my_split/val_file.txt",
+        # test split = validation.txt (datasets_frame.py:253-258)
+        clips = read_dada_clips(cfg.data_path,
+                                "DADA2K_my_split/validation.txt",
                                 orig_fps=30, ttc_TT=cfg.ttc_TT,
                                 ttc_TA=cfg.ttc_TA)
         orig_fps = 30

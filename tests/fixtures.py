@@ -73,3 +73,45 @@ def make_synthetic_dota_full(root: str, **kw) -> str:
     make_synthetic_dota(root, split="train_split.txt", prefix="train", **kw)
     return make_synthetic_dota(root, split="val_split.txt", prefix="val",
                                **kw)
+
+
+def make_synthetic_dada(root: str, *, n_clips: int = 2,
+                        frames_per_clip: int = 60, h: int = 48,
+                        w: int = 64) -> str:
+    """DADA-2000-format fixture: <root>/{DADA2K_my_split/*.txt,
+    annotation/full_anno.csv, frames/<type>/<video>/images.zip} with
+    %04d.png members at 30 fps (dada.py layout)."""
+    import csv
+    os.makedirs(os.path.join(root, "DADA2K_my_split"), exist_ok=True)
+    os.makedirs(os.path.join(root, "annotation"), exist_ok=True)
+    names, rows = [], []
+    for c in range(n_clips):
+        clip_type = str((c % 2) + 1)       # types 1, 2 (both ego)
+        video = str(c + 1)
+        name = f"{clip_type}/{video}"
+        names.append(name)
+        frame_dir = os.path.join(root, "frames", clip_type, video)
+        os.makedirs(frame_dir, exist_ok=True)
+        has_acc = c % 2 == 1
+        st, en = (30, 45) if has_acc else (-1, -1)
+        with zipfile.ZipFile(os.path.join(frame_dir, "images.zip"),
+                             "w") as zf:
+            for t in range(frames_per_clip):
+                risky = has_acc and st <= t <= en
+                img = _frame_image(h, w, t, risky, seed=c + 100)
+                ok, buf = cv2.imencode(".png", img)
+                assert ok
+                zf.writestr(f"{t:04d}.png", buf.tobytes())
+        rows.append({"video": video, "type": clip_type,
+                     "whether an accident occurred (1/0)": int(has_acc),
+                     "abnormal start frame": st, "abnormal end frame": en,
+                     "accident frame": st if has_acc else -1,
+                     "light(day,night)1-2": 2 if c == 0 else 1,
+                     "texts": "synthetic"})
+    import pandas as pd
+    pd.DataFrame(rows).to_csv(
+        os.path.join(root, "annotation", "full_anno.csv"), index=False)
+    for split in ("training.txt", "validation.txt", "all.txt"):
+        with open(os.path.join(root, "DADA2K_my_split", split), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return root
