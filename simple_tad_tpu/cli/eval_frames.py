@@ -72,7 +72,8 @@ def main(argv=None):
     print(f"eval windows: {len(ds)} over {len(clips)} clips")
 
     ev = FrameEvaluator(model, params, batch_size=cfg.batch_size,
-                        frame_bucket=cfg.frame_bucket, dtype=dtype)
+                        frame_bucket=cfg.frame_bucket, dtype=dtype,
+                        quant8=cfg.quant8)
     res = ev.evaluate(ds)
     print(f"AUROC {res.metrics.auroc:.4f}  AP {res.metrics.ap:.4f}  "
           f"AUC-MCC {res.metrics.mcc_auc:.4f}  MCC@0.5 {res.metrics.mcc_05:.4f}  "

@@ -91,6 +91,7 @@ class FinetuneConfig:
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     frame_bucket: int = 128
+    quant8: bool = False      # int8 GEMM inference (see ops/quant.py)
 
     def save(self, path: str):
         with open(path, "w") as f:
