@@ -58,12 +58,15 @@ def _pick_block(n: int, target: int = 0) -> int:
 # ---------------------------------------------------------------- forward ---
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
-    q = q_ref[0]                                             # (Bq, D)
+    # scale q BEFORE the matmul: a (Bq, D) multiply instead of a full
+    # (Bq, Np) score-tile pass
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
+        q_ref.dtype)                                         # (Bq, D)
     k = k_ref[0]                                             # (Np, D)
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (Bq, Np)
+        preferred_element_type=jnp.float32)                  # (Bq, Np)
     if n_valid < k.shape[0]:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
@@ -111,7 +114,8 @@ def _flash_fwd_impl(q, k, v, scale, block_q):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, n_valid):
-    q = q_ref[0]                                             # (Bq, D)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
+        q_ref.dtype)                                         # (Bq, D)
     k = k_ref[0]                                             # (Np, D)
     v = v_ref[0]
     do = do_ref[0]                                           # (Bq, D)
@@ -120,7 +124,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (Bq, Np)
+        preferred_element_type=jnp.float32)                  # (Bq, Np)
     if n_valid < k.shape[0]:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
@@ -131,13 +135,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     ds = p * (dp - delta)
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32) * scale          # natural scale
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, n_valid):
-    q = q_ref[0]                                             # (Np, D)
+    q_raw = q_ref[0]                                         # (Np, D)
+    q = (q_raw.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]                                             # (Bk, D)
     v = v_ref[0]
     do = do_ref[0]                                           # (Np, D)
@@ -146,7 +151,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (Np, Bk)
+        preferred_element_type=jnp.float32)                  # (Np, Bk)
     if n_valid < q.shape[0]:
         # mask padded *query* rows: their lse is 0, exp2(s) could explode.
         q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -160,7 +165,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32)                  # (Np, Bk)
     ds = p * (dp - delta)
     dk = jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        ds.astype(q_raw.dtype), q_raw, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # (Bk, D)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
