@@ -70,6 +70,10 @@ class TrainLoader:
         labels = self.dataset.labels
         pos = np.flatnonzero(labels == 1)
         neg = np.flatnonzero(labels == 0)
+        if len(pos) == 0 or len(neg) == 0:
+            # degenerate split: fall back to plain shuffling
+            order = rng.permutation(len(self.dataset))
+            return order[:self.cap] if self.cap else order
         n = min(len(self.dataset), self.cap) if self.cap \
             else len(self.dataset)
         n_batches = n // self.batch_size
