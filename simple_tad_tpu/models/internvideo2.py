@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simple_tad_tpu.models.layers import (drop_path, sincos_3d_pos_embed,
+from simple_tad_tpu.models.layers import (drop_path, gelu_for,
+                                          sincos_3d_pos_embed,
                                           trunc_normal_init)
 from simple_tad_tpu.ops.attention import dot_product_attention
 
@@ -136,7 +137,7 @@ class IV2Block(nn.Module):
         h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(hid, dtype=self.dtype,
                      kernel_init=trunc_normal_init(0.02), name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu_for(self.dtype)(h)
         h = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init(0.02), name="fc2")(h)
         h = ls("gamma_2", h)

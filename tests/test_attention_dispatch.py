@@ -1,0 +1,67 @@
+"""Attention dispatch rules and backend agreement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simple_tad_tpu.ops.attention import dot_product_attention
+
+
+def _qkv(n=64, h=2, d=64):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return [jax.random.normal(k, (2, n, h, d)) for k in ks]
+
+
+def test_xla_matches_naive():
+    q, k, v = _qkv()
+    a = dot_product_attention(q, k, v, scale=0.125, impl="naive")
+    b = dot_product_attention(q, k, v, scale=0.125, impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_auto_on_cpu_is_not_pallas():
+    # CPU backend: auto must not pick the TPU kernel
+    q, k, v = _qkv()
+    out = dot_product_attention(q, k, v, scale=0.125, impl="auto")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_with_dropout_uses_naive_and_is_stochastic():
+    q, k, v = _qkv()
+    rng = jax.random.PRNGKey(3)
+    a = dot_product_attention(q, k, v, scale=0.125, impl="auto",
+                              dropout_rate=0.5, dropout_rng=rng,
+                              deterministic=False)
+    b = dot_product_attention(q, k, v, scale=0.125, impl="auto",
+                              dropout_rate=0.5,
+                              dropout_rng=jax.random.PRNGKey(4),
+                              deterministic=False)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+    # deterministic mode ignores dropout
+    c = dot_product_attention(q, k, v, scale=0.125, impl="auto",
+                              dropout_rate=0.5, deterministic=True)
+    d = dot_product_attention(q, k, v, scale=0.125, impl="naive")
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_unknown_impl_raises():
+    q, k, v = _qkv(n=8)
+    with pytest.raises(ValueError):
+        dot_product_attention(q, k, v, scale=1.0, impl="cuda")
+
+
+def test_pallas_interpret_large_head_dim():
+    """Head dim 128 (IV2-6B geometry) through the kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from simple_tad_tpu.ops.flash_attention import flash_attention
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = [jax.random.normal(kk, (1, 64, 2, 128)) for kk in ks]
+    want = dot_product_attention(q, k, v, scale=128 ** -0.5, impl="naive")
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, scale=128 ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
