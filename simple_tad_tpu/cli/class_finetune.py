@@ -162,7 +162,10 @@ def main(argv=None):
         crop_size=args.input_size, short_side_size=args.short_side_size,
         sparse_sampling=args.sparse_sampling)
     steps = max(len(train_ds) // args.batch_size, 1)
-    lr = args.lr * args.batch_size * jax.device_count() / 256.0
+    # batch_size here is the global batch (this driver runs single-device
+    # batches; see cli.finetune for the mesh-sharded data-parallel wiring),
+    # so LR scales by it alone — no device_count factor
+    lr = args.lr * args.batch_size / 256.0
     lr_sched = O.cosine_scheduler(lr, args.min_lr, args.epochs, steps,
                                   warmup_epochs=args.warmup_epochs)
     tx = O.create_optimizer(params, lr_schedule=O.array_schedule(lr_sched),

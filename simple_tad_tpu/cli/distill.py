@@ -133,7 +133,9 @@ def main(argv=None):
     loader = TrainLoader(ds, args.batch_size, seed=args.seed,
                          num_threads=args.num_workers)
     steps = loader.steps_per_epoch()
-    lr = args.lr * args.batch_size * jax.device_count() / 256.0
+    # batch_size is the global batch in this driver (single-device batches;
+    # cli.finetune has the mesh-sharded path) — no device_count factor
+    lr = args.lr * args.batch_size / 256.0
     sched = O.cosine_scheduler(lr, 1e-6, args.epochs, steps,
                                warmup_epochs=args.warmup_epochs)
     tx = O.create_optimizer(s_params, lr_schedule=O.array_schedule(sched),

@@ -88,25 +88,41 @@ def main(argv=None):
         print(f"initialized from {cfg.finetune}")
 
     train_ds, val_ds = build_datasets(cfg)
-    loader = TrainLoader(train_ds, cfg.batch_size, seed=cfg.seed,
+    # data parallelism: cfg.batch_size is per-device (like the reference's
+    # per-GPU batch); loader batches are global and get sharded over a
+    # 1-D mesh in the trainer
+    n_dev = jax.device_count()
+    mesh = None
+    if n_dev > 1:
+        from simple_tad_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    loader = TrainLoader(train_ds, cfg.batch_size * n_dev, seed=cfg.seed,
                          nb_samples_per_epoch=cfg.nb_samples_per_epoch,
                          num_threads=cfg.num_workers,
                          num_sample=cfg.num_sample)
     steps_per_epoch = loader.steps_per_epoch()
-    print(f"train windows: {len(train_ds)}  steps/epoch: {steps_per_epoch}")
+    print(f"train windows: {len(train_ds)}  steps/epoch: {steps_per_epoch} "
+          f"devices: {n_dev}")
 
-    total_batch = cfg.batch_size * cfg.update_freq * jax.device_count()
+    total_batch = cfg.batch_size * cfg.update_freq * n_dev
     lr = O.scale_lr_by_batch(cfg.lr, total_batch)
     min_lr = O.scale_lr_by_batch(cfg.min_lr, total_batch)
     warmup_lr = O.scale_lr_by_batch(cfg.warmup_lr, total_batch)
-    lr_sched = O.cosine_scheduler(lr, min_lr, cfg.epochs, steps_per_epoch,
+    # schedules advance once per OPTIMIZER update: under MultiSteps the
+    # inner chain (and thus array_schedule's count) steps every
+    # update_freq mini-batches, so size the arrays in optimizer steps
+    # (matches run_frame_finetuning.py's num_training_steps_per_epoch
+    # = dataset // total_batch)
+    opt_steps_per_epoch = max(steps_per_epoch // cfg.update_freq, 1)
+    lr_sched = O.cosine_scheduler(lr, min_lr, cfg.epochs,
+                                  opt_steps_per_epoch,
                                   warmup_epochs=cfg.warmup_epochs,
                                   start_warmup_value=warmup_lr,
                                   warmup_steps=cfg.warmup_steps)
     wd_end = (cfg.weight_decay if cfg.weight_decay_end is None
               else cfg.weight_decay_end)
     wd_sched = O.cosine_scheduler(cfg.weight_decay, wd_end, cfg.epochs,
-                                  steps_per_epoch)
+                                  opt_steps_per_epoch)
     tx = O.create_optimizer(
         params, lr_schedule=O.array_schedule(lr_sched),
         wd_schedule=O.array_schedule(wd_sched),
@@ -141,7 +157,8 @@ def main(argv=None):
                if cfg.output_dir else None)
     trainer = FinetuneTrainer(model, step, state, crop_size=cfg.input_size,
                               reprob=cfg.reprob, dtype=dtype,
-                              log_writer=log_writer)
+                              log_writer=log_writer, seed=cfg.seed,
+                              mesh=mesh)
     evaluator = None
 
     for epoch in range(start_epoch, cfg.epochs):

@@ -76,8 +76,19 @@ def main(argv=None):
     window_size = (cfg.num_frames // cfg.tubelet_size,
                    cfg.input_size // 16, cfg.input_size // 16)
 
+    # cfg.batch_size is per-device (the reference's per-GPU batch);
+    # loader batches are global and sharded over a 1-D data mesh
+    n_dev = jax.device_count()
+    mesh = None
+    batch_sh = None
+    if n_dev > 1:
+        from simple_tad_tpu.parallel.mesh import batch_sharding, make_mesh
+        mesh = make_mesh()
+        batch_sh = batch_sharding(mesh)
+
     ds1 = _build_source(cfg.data_set, cfg.data_path, cfg)
-    loader1 = PretrainLoader(ds1, cfg.batch_size, window_size=window_size,
+    loader1 = PretrainLoader(ds1, cfg.batch_size * n_dev,
+                             window_size=window_size,
                              mask_ratio=cfg.mask_ratio, seed=cfg.seed,
                              nb_samples_per_epoch=cfg.nb_samples_per_epoch,
                              num_threads=cfg.num_workers)
@@ -85,7 +96,7 @@ def main(argv=None):
     if cfg.data_set2:
         ds2 = _build_source(cfg.data_set2, cfg.data_path2, cfg)
         loader2 = PretrainLoader(
-            ds2, cfg.batch_size2 or cfg.batch_size,
+            ds2, (cfg.batch_size2 or cfg.batch_size) * n_dev,
             window_size=window_size, mask_ratio=cfg.mask_ratio,
             seed=cfg.seed + 1,
             nb_samples_per_epoch=cfg.nb_samples_per_epoch,
@@ -112,25 +123,39 @@ def main(argv=None):
 
     steps_per_epoch = loader1.steps_per_epoch()
     total_batch = ((cfg.batch_size + (cfg.batch_size2 or 0))
-                   * cfg.update_freq * jax.device_count())
+                   * cfg.update_freq * n_dev)
     lr = cfg.lr * total_batch / 256.0
+    # schedules are indexed per OPTIMIZER update (see finetune.py): under
+    # MultiSteps the inner chain only advances every update_freq batches
+    opt_steps_per_epoch = max(steps_per_epoch // cfg.update_freq, 1)
     lr_sched = O.cosine_scheduler(lr, cfg.min_lr, cfg.epochs,
-                                  steps_per_epoch,
+                                  opt_steps_per_epoch,
                                   warmup_epochs=cfg.warmup_epochs,
                                   start_warmup_value=cfg.warmup_lr,
                                   warmup_steps=cfg.warmup_steps)
     wd_end = (cfg.weight_decay if cfg.weight_decay_end is None
               else cfg.weight_decay_end)
     wd_sched = O.cosine_scheduler(cfg.weight_decay, wd_end, cfg.epochs,
-                                  steps_per_epoch)
+                                  opt_steps_per_epoch)
     tx = O.create_optimizer(params, lr_schedule=O.array_schedule(lr_sched),
                             wd_schedule=O.array_schedule(wd_sched),
                             weight_decay=cfg.weight_decay,
                             betas=tuple(cfg.opt_betas), eps=cfg.opt_eps,
                             clip_grad=cfg.clip_grad)
+    if cfg.update_freq > 1:
+        import optax
+        tx = optax.MultiSteps(tx, cfg.update_freq)
     step = make_mae_train_step(model, tx, num_masked=num_masked,
                                normalize_target=cfg.normlize_target)
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 2))
+    if mesh is not None:
+        from simple_tad_tpu.parallel.mesh import replicated
+        state = jax.device_put(state, replicated(mesh))
+
+    def put(x):
+        if batch_sh is not None:
+            return jax.device_put(np.asarray(x), batch_sh)
+        return jnp.asarray(x)
 
     start_epoch = cfg.start_epoch
     if cfg.output_dir:
@@ -169,10 +194,10 @@ def main(argv=None):
             videos, masks = [], []
             for part in parts:
                 nonlocal_key, k = jax.random.split(nonlocal_key)
-                videos.append(augment(jnp.asarray(part["video_u8"]), k,
+                videos.append(augment(put(part["video_u8"]), k,
                                       crop_size=cfg.input_size,
                                       dtype=dtype))
-                masks.append(jnp.asarray(part["mask"]))
+                masks.append(put(part["mask"]))
             batch = {"video": jnp.concatenate(videos) if len(videos) > 1
                      else videos[0],
                      "mask": jnp.concatenate(masks) if len(masks) > 1

@@ -114,9 +114,20 @@ class FinetuneConfig:
                 parser.add_argument(name, nargs="+", type=float,
                                     default=list(f.default))
             else:
-                typ = (type(f.default) if f.default is not None
-                       and not isinstance(f.default, (tuple, list))
-                       else str)
+                if f.default is not None and not isinstance(
+                        f.default, (tuple, list)):
+                    typ = type(f.default)
+                else:
+                    # None-default fields: recover the element type from
+                    # the annotation (Optional[float] etc.); dataclass
+                    # annotations are strings under __future__.annotations
+                    ann = str(f.type)
+                    if "float" in ann:
+                        typ = float
+                    elif "int" in ann:
+                        typ = int
+                    else:
+                        typ = str
                 parser.add_argument(name, type=typ, default=f.default)
         ns = parser.parse_args(argv)
         return cls(**vars(ns))

@@ -207,10 +207,15 @@ class PretrainLoader:
             return video
 
         def worker(shard):
-            for row in shard:
-                if stop.is_set():
-                    return
-                q.put(make(row))
+            try:
+                for row in shard:
+                    if stop.is_set():
+                        return
+                    q.put(make(row))
+            except BaseException as e:  # noqa: BLE001
+                # surface worker failures; a silent death would leave the
+                # consumer blocked on q.get() forever
+                q.put(e)
 
         shards = [rows[i::self.num_threads]
                   for i in range(self.num_threads)]
@@ -221,6 +226,9 @@ class PretrainLoader:
         try:
             for _ in range(n_batches):
                 video = q.get()
+                if isinstance(video, BaseException):
+                    stop.set()
+                    raise video
                 mask = self.maskgen.batch(self.batch_size, mask_rng)
                 yield {"video_u8": video, "mask": mask}
         finally:

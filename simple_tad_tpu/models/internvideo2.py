@@ -265,15 +265,16 @@ class InternVideo2(nn.Module):
         # learnable pos-embed, sincos-initialized (internvideo2.py:556-584).
         if cfg.sep_pos_embed:
             def init_sp(key, shape, dtype=jnp.float32):
-                tab = sincos_3d_pos_embed(cfg.embed_dim, nh, 1)[0, :, :]
-                # 2D: spatial table from the 3d util's spatial part is not
-                # identical; use MAE 2D directly:
+                # MAE 2D sincos (pos_embed.py:63-80) — NOT the 3d util's
+                # spatial slice, which uses a 3*dim/4 split
                 from simple_tad_tpu.models.layers import sincos_1d_mae
                 gw, gh = np.meshgrid(np.arange(nh, dtype=np.float64),
                                      np.arange(nh, dtype=np.float64))
+                # first half encodes meshgrid[0] == the W mesh
+                # (pos_embed.py:98-109, "here w goes first")
                 emb = np.concatenate(
-                    [sincos_1d_mae(cfg.embed_dim // 2, gh),
-                     sincos_1d_mae(cfg.embed_dim // 2, gw)], axis=1)
+                    [sincos_1d_mae(cfg.embed_dim // 2, gw),
+                     sincos_1d_mae(cfg.embed_dim // 2, gh)], axis=1)
                 return jnp.asarray(emb[None], dtype)
 
             def init_t(key, shape, dtype=jnp.float32):

@@ -357,9 +357,13 @@ def sincos_3d_pos_embed(dim: int, grid_size: int, t_size: int,
     gh = np.arange(grid_size, dtype=np.float64)
     gw = np.arange(grid_size, dtype=np.float64)
     grid_w, grid_h = np.meshgrid(gw, gh)          # w varies fastest
-    emb_h = sincos_1d_mae(dim_sp // 2, grid_h)    # (g*g, dim_sp/2)
-    emb_w = sincos_1d_mae(dim_sp // 2, grid_w)
-    spatial = np.concatenate([emb_h, emb_w], axis=1)          # (g*g, dim_sp)
+    # reference concat order: first half encodes grid[0], and
+    # np.meshgrid(grid_w, grid_h)[0] is the W-coordinate mesh (the
+    # reference's "emb_h" name is misleading; see modeling_finetune.py:38
+    # "here w goes first").
+    emb_w = sincos_1d_mae(dim_sp // 2, grid_w)    # (g*g, dim_sp/2)
+    emb_h = sincos_1d_mae(dim_sp // 2, grid_h)
+    spatial = np.concatenate([emb_w, emb_h], axis=1)          # (g*g, dim_sp)
     temporal = sincos_1d_mae(dim_t, np.arange(t_size, dtype=np.float64),
                              scale=scale_t)                   # (t, dim_t)
     temporal = np.repeat(temporal[:, None, :], grid_size ** 2, axis=1)

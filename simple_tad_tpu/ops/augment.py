@@ -471,9 +471,10 @@ def pretrain_augment_align(video_u8, key, *, crop_size: int = 224,
 # ------------------------------------- action-recognition (class) paths ---
 
 def _op_posterize(clip, mag, _key):
-    """Keep (8 - int(mag/10*4)) high bits (timm posterize_increasing)."""
-    bits = jnp.clip(4 - mag / 10.0 * 4.0, 0, 4) + 4
-    shift = (8 - jnp.floor(bits)).astype(jnp.int32)
+    """Keep (4 - int(mag/10*4)) high bits — PosterizeIncreasing range
+    [4..0] (rand_augment.py:247-252), NOT the original-paper [4..8]."""
+    bits = jnp.clip(4.0 - jnp.floor(mag / 10.0 * 4.0), 0, 4)
+    shift = (8 - bits).astype(jnp.int32)
     vals = jnp.clip(clip, 0, 255).astype(jnp.int32)
     return ((vals >> shift) << shift).astype(clip.dtype)
 

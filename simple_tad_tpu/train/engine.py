@@ -131,10 +131,15 @@ class TrainLoader:
             }
 
         def worker(rows):
-            for row in rows:
-                if stop.is_set():
-                    return
-                q.put(make_batch(row))
+            try:
+                for row in rows:
+                    if stop.is_set():
+                        return
+                    q.put(make_batch(row))
+            except BaseException as e:  # noqa: BLE001
+                # propagate instead of dying silently: an unannounced dead
+                # worker would leave the consumer blocked on q.get() forever
+                q.put(e)
 
         per = [batches[i::self.num_threads] for i in range(self.num_threads)]
         # interleave deterministically: a single feeder thread per shard
@@ -146,7 +151,11 @@ class TrainLoader:
             t.start()
         try:
             for _ in range(n_batches):
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    stop.set()
+                    raise item
+                yield item
         finally:
             stop.set()
             while not q.empty():
@@ -159,7 +168,7 @@ class FinetuneTrainer:
     def __init__(self, model, train_step, state, *, crop_size: int = 224,
                  aug_magnitude: float = 6.0, aug_layers: int = 3,
                  reprob: float = 0.25, dtype=jnp.bfloat16,
-                 log_writer=None):
+                 log_writer=None, seed: int = 0, mesh=None):
         self.model = model
         self.train_step = train_step
         self.state = state
@@ -169,25 +178,41 @@ class FinetuneTrainer:
         self.reprob = reprob
         self.dtype = dtype
         self.log_writer = log_writer
+        self.seed = seed
+        # data-parallel mesh: batches sharded on the 'data' axis, state
+        # replicated; the gradient psum is implicit in the jit'd step.
+        self.mesh = mesh
+        self._batch_sh = None
+        if mesh is not None:
+            from simple_tad_tpu.parallel.mesh import batch_sharding, \
+                replicated
+            self._batch_sh = batch_sharding(mesh)
+            self.state = jax.device_put(self.state, replicated(mesh))
+
+    def _put(self, x):
+        if self._batch_sh is not None:
+            return jax.device_put(np.asarray(x), self._batch_sh)
+        return jnp.asarray(x)
 
     def train_one_epoch(self, loader: TrainLoader, epoch: int,
                         print_freq: int = 10) -> Dict[str, float]:
         ml = MetricLogger(print_freq=print_freq)
-        aug_key = jax.random.PRNGKey(hash(("aug", epoch)) & 0x7FFFFFFF)
+        # deterministic across runs: hash() is PYTHONHASHSEED-randomized
+        aug_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
         all_logits, all_labels = [], []
         for batch in ml.log_every(loader.epoch(epoch),
                                   header=f"Epoch [{epoch}]"):
             aug_key, k = jax.random.split(aug_key)
             video = train_augment(
-                jnp.asarray(batch["video_u8"]), k,
+                self._put(batch["video_u8"]), k,
                 crop_size=self.crop_size, magnitude=self.aug_magnitude,
                 num_layers=self.aug_layers, reprob=self.reprob,
                 dtype=self.dtype)
             dev_batch = {
                 "video": video,
-                "label": jnp.asarray(batch["label"]),
-                "smoothed": jnp.asarray(batch["smoothed"]),
-                "ttc": jnp.asarray(batch["ttc"]),
+                "label": self._put(batch["label"]),
+                "smoothed": self._put(batch["smoothed"]),
+                "ttc": self._put(batch["ttc"]),
             }
             self.state, (metrics, logits) = self.train_step(self.state,
                                                             dev_batch)

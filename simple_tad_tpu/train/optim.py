@@ -25,7 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-NO_DECAY_NAMES = ("pos_embed", "cls_token", "mask_token")
+# prefix-matched so InternVideo2's separable tables (pos_embed_spatial /
+# pos_embed_temporal / pos_embed_cls) are covered too
+NO_DECAY_PREFIXES = ("pos_embed", "cls_token", "mask_token")
+# top-level embedding leaves: nested ViT patch_embed module OR the flat
+# patch_kernel/patch_bias params InternVideo2 uses
+EMBED_PREFIXES = ("patch_embed", "patch_kernel", "patch_bias")
+
+
+def _is_no_decay(name: str) -> bool:
+    return name.startswith(NO_DECAY_PREFIXES)
+
+
+def _is_embed_layer(name: str) -> bool:
+    return name.startswith(EMBED_PREFIXES) or _is_no_decay(name)
 
 
 def cosine_scheduler(base_value: float, final_value: float, epochs: int,
@@ -64,7 +77,7 @@ def weight_decay_mask(params) -> Any:
     in the no-decay list (optim_factory.py:49-56: 1-dim or bias or skip)."""
     def mask(path, leaf):
         names = _path_names(path)
-        if any(n in NO_DECAY_NAMES for n in names):
+        if any(_is_no_decay(n) for n in names):
             return False
         return _effective_ndim(names, leaf) > 1
     return jax.tree_util.tree_map_with_path(mask, params)
@@ -83,8 +96,7 @@ def layer_scale_tree(params, layer_decay: float, depth: int) -> Any:
             vec = layer_decay ** (depth - np.arange(d))
             return jnp.asarray(vec.reshape((d,) + (1,) * (leaf.ndim - 1)),
                                jnp.float32)
-        if any(n.startswith("patch_embed") or n in NO_DECAY_NAMES
-               for n in names):
+        if any(_is_embed_layer(n) for n in names):
             return jnp.asarray(layer_decay ** (depth + 1), jnp.float32)
         return jnp.asarray(1.0, jnp.float32)
     return jax.tree_util.tree_map_with_path(scale, params)
@@ -185,8 +197,7 @@ def freeze_mask_tree(params, freeze_layers: Optional[str], depth: int):
             d = leaf.shape[0]
             vec = (np.arange(d) >= k).astype(np.float32)
             return jnp.asarray(vec.reshape((d,) + (1,) * (leaf.ndim - 1)))
-        if any(n.startswith("patch_embed") or n in NO_DECAY_NAMES
-               for n in names):
+        if any(_is_embed_layer(n) for n in names):
             return jnp.asarray(0.0)
         return jnp.asarray(1.0)
     return jax.tree_util.tree_map_with_path(mult, params)

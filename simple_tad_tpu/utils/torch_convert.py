@@ -245,6 +245,17 @@ def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
         final_reduction=cfg.final_reduction)
     if "pos_embed" in loaded and not cfg.use_learnable_pos_emb:
         loaded.pop("pos_embed")
+    elif "pos_embed" in loaded:
+        # checkpoint trained at a different spatial grid: bicubic-resample
+        # the learnable table to the model geometry
+        # (run_frame_finetuning.py:433-458)
+        want = params["pos_embed"].shape
+        got = np.asarray(loaded["pos_embed"]).shape
+        if tuple(got) != tuple(want):
+            nt = cfg.all_frames // cfg.tubelet_size
+            loaded["pos_embed"] = interpolate_pos_embed(
+                np.asarray(loaded["pos_embed"], np.float32),
+                num_temporal=nt, new_size=cfg.img_size // cfg.patch_size)
     return jax.device_put(merge_params(params, loaded))
 
 

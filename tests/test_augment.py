@@ -180,3 +180,19 @@ def test_train_augment_end_to_end():
     out2 = A.train_augment(u8, jax.random.PRNGKey(1), crop_size=32,
                            dtype=jnp.float32)
     assert np.abs(np.asarray(out2) - arr).max() > 1e-3
+
+
+@pytest.mark.parametrize("mag", [0.0, 2.5, 5.0, 7.0, 10.0])
+def test_posterize_matches_pil_increasing(mag):
+    """PosterizeIncreasing keeps 4 - int(mag/10*4) high bits
+    (rand_augment.py:247-252)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    bits = 4 - int(mag / 10.0 * 4)
+    if bits == 0:
+        want = np.zeros_like(img)
+    else:
+        want = np.asarray(ImageOps.posterize(Image.fromarray(img), bits))
+    clip = jnp.asarray(img[None].astype(np.float32))
+    got = np.asarray(A._op_posterize(clip, mag, None))[0]
+    np.testing.assert_array_equal(got.astype(np.uint8), want)

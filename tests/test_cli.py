@@ -24,7 +24,9 @@ def test_finetune_cli_one_epoch(full_root, tmp_path):
     state = main([
         "--data_set", "DoTA", "--data_path", full_root,
         "--model", "vit_small_patch16_224", "--input_size", "32",
-        "--num_frames", "16", "--batch_size", "4", "--epochs", "1",
+        # per-device batch 1: conftest simulates 8 devices, so the
+        # global (loader) batch is 8 and the mesh shard path is exercised
+        "--num_frames", "16", "--batch_size", "1", "--epochs", "1",
         "--warmup_epochs", "0", "--output_dir", out,
         "--dtype", "float32", "--attn_impl", "naive",
         "--num_workers", "2", "--drop_path", "0.0",
@@ -43,7 +45,9 @@ def test_finetune_cli_auto_resume(full_root, tmp_path):
     args = [
         "--data_set", "DoTA", "--data_path", full_root,
         "--model", "vit_small_patch16_224", "--input_size", "32",
-        "--num_frames", "16", "--batch_size", "4", "--epochs", "1",
+        # per-device batch 1: conftest simulates 8 devices, so the
+        # global (loader) batch is 8 and the mesh shard path is exercised
+        "--num_frames", "16", "--batch_size", "1", "--epochs", "1",
         "--warmup_epochs", "0", "--output_dir", out,
         "--dtype", "float32", "--attn_impl", "naive", "--num_workers", "2",
         "--drop_path", "0.0",

@@ -67,13 +67,14 @@ def test_double_pretrain_cli(dada_root, tmp_path):
     from tests.fixtures import make_synthetic_dota
     from simple_tad_tpu.cli.pretrain import main
     dota_root = str(tmp_path / "dota")
-    make_synthetic_dota(dota_root, n_clips=2, frames_per_clip=24,
+    make_synthetic_dota(dota_root, n_clips=3, frames_per_clip=40,
                         h=48, w=64)
     out = str(tmp_path / "dapt")
     state = main([
         "--data_set", "DoTA", "--data_path", dota_root,
         "--data_set2", "DADA2K", "--data_path2", dada_root,
-        "--batch_size", "2", "--batch_size2", "2",
+        # per-device batch 1 -> global batch 8 on the 8-device conftest mesh
+        "--batch_size", "1", "--batch_size2", "1",
         "--model", "pretrain_videomae_small_patch16_224",
         "--input_size", "32", "--num_frames", "16", "--epochs", "1",
         "--warmup_epochs", "0", "--mask_ratio", "0.75",

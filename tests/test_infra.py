@@ -101,6 +101,19 @@ def test_config_from_args_and_save(tmp_path):
     assert pcfg.mask_ratio == 0.75
 
 
+def test_config_optional_float_flags_parse_as_float():
+    # None-default Optional[float] fields must not come back as strings
+    cfg = FinetuneConfig.from_args([
+        "--clip_grad", "5.0", "--weight_decay_end", "0.01",
+        "--crop_pct", "0.875"])
+    assert cfg.clip_grad == 5.0 and isinstance(cfg.clip_grad, float)
+    assert cfg.weight_decay_end == 0.01
+    assert cfg.crop_pct == 0.875
+    assert FinetuneConfig.from_args([]).clip_grad is None
+    p = PretrainConfig.from_args(["--clip_grad", "0.02"])
+    assert p.clip_grad == 0.02 and isinstance(p.clip_grad, float)
+
+
 def test_metric_logger_smoothing(capsys):
     ml = MetricLogger(print_freq=2)
     for i, _ in enumerate(ml.log_every(range(5), header="ep0")):

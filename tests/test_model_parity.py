@@ -160,3 +160,32 @@ def test_registry_names_and_shapes():
     assert m.cfg.embed_dim == 1280 and m.cfg.depth == 32
     m = create_model("pretrain_videomae_base_patch16_224")
     assert m.cfg.decoder_embed_dim == 384 and m.cfg.decoder_num_heads == 6
+
+
+def test_learnable_pos_embed_interpolated_on_geometry_change(tmp_path):
+    """A learnable-pos checkpoint saved at a different spatial grid is
+    bicubic-resampled to the model geometry instead of raising
+    (run_frame_finetuning.py:433-458)."""
+    import torch as _torch
+    from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
+    from simple_tad_tpu.utils.torch_convert import load_vit_checkpoint
+
+    dim, depth, heads = 64, 2, 2
+    sd = torch_ref.make_vit_state_dict(11, dim, depth, heads, num_classes=2)
+    # checkpoint geometry: img 48 (3x3 grid), 4 frames tubelet 2 -> 18 tok
+    sd["pos_embed"] = _torch.randn(1, 2 * 3 * 3, dim,
+                                   generator=_torch.Generator()
+                                   .manual_seed(3)) * 0.02
+    path = tmp_path / "ck.pth"
+    _torch.save({"model": sd}, str(path))
+
+    model = VisionTransformer(ViTConfig(
+        img_size=32, all_frames=4, embed_dim=dim, depth=depth,
+        num_heads=heads, num_classes=2, use_learnable_pos_emb=True,
+        attn_impl="naive"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    loaded = load_vit_checkpoint(str(path), model, params)
+    assert loaded["pos_embed"].shape == params["pos_embed"].shape
+    # resampled, not re-initialized
+    assert not np.allclose(np.asarray(loaded["pos_embed"]),
+                           np.asarray(params["pos_embed"]))

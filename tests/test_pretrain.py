@@ -105,13 +105,14 @@ def test_pretrain_cli_one_epoch(dota_root, tmp_path):
     state = main([
         "--data_set", "DoTA", "--data_path", dota_root,
         "--model", "pretrain_videomae_small_patch16_224",
-        "--input_size", "32", "--num_frames", "16", "--batch_size", "4",
+        # per-device batch 1 -> global batch 8 on the 8-device conftest mesh
+        "--input_size", "32", "--num_frames", "16", "--batch_size", "1",
         "--epochs", "1", "--warmup_epochs", "0", "--mask_ratio", "0.75",
         "--sampling_rate", "4", "--decoder_depth", "2",
         "--output_dir", out, "--dtype", "float32", "--attn_impl", "naive",
         "--num_workers", "2",
     ])
-    assert int(state.step) == 2
+    assert int(state.step) == 1
     assert os.path.exists(os.path.join(out, "checkpoint-last"))
 
 

@@ -89,3 +89,69 @@ def test_eval_plots_written(tmp_path):
     for k in ("pr", "roc", "confusion", "dist"):
         assert os.path.exists(written[k])
         assert os.path.getsize(written[k]) > 1000
+
+
+def test_iv2_flat_params_in_optim_trees():
+    """InternVideo2's flat patch_kernel/patch_bias and separable pos-embed
+    tables must be treated as embedding-layer params (no decay for pos
+    tables; embed-depth layer scale; frozen by freeze_layers)."""
+    params = {
+        "patch_kernel": np.zeros((48, 64), np.float32),
+        "patch_bias": np.zeros((64,), np.float32),
+        "pos_embed_spatial": np.zeros((1, 16, 64), np.float32),
+        "pos_embed_temporal": np.zeros((1, 4, 64), np.float32),
+        "pos_embed_cls": np.zeros((1, 1, 64), np.float32),
+        "cls_token": np.zeros((1, 1, 64), np.float32),
+        "blocks": {"attn": {"qkv": {"kernel":
+                                    np.zeros((3, 64, 192), np.float32)}}},
+        "head": {"kernel": np.zeros((64, 2), np.float32)},
+    }
+    wd = O.weight_decay_mask(params)
+    assert not wd["pos_embed_spatial"]
+    assert not wd["pos_embed_temporal"]
+    assert not wd["pos_embed_cls"]
+    assert wd["patch_kernel"]          # 2-D weight: decayed
+    assert wd["head"]["kernel"]
+
+    depth = 3
+    ls = O.layer_scale_tree(params, 0.75, depth)
+    embed_scale = 0.75 ** (depth + 1)
+    assert np.isclose(float(ls["patch_kernel"]), embed_scale)
+    assert np.isclose(float(ls["pos_embed_spatial"]), embed_scale)
+    assert float(ls["head"]["kernel"]) == 1.0
+
+    fz = O.freeze_mask_tree(params, "first N blocks;2", depth)
+    assert float(fz["patch_kernel"]) == 0.0
+    assert float(fz["pos_embed_temporal"]) == 0.0
+    assert float(fz["head"]["kernel"]) == 1.0
+
+
+def test_train_loader_propagates_worker_failure():
+    """A dataset whose decode always fails must raise in the consumer
+    instead of hanging on q.get() forever."""
+
+    class BadDataset:
+        labels = np.zeros(8, np.int64)
+
+        def __len__(self):
+            return 8
+
+        def get_window_frames(self, i, **kw):
+            raise RuntimeError("decode exploded")
+
+    loader = TrainLoader(BadDataset(), batch_size=4, num_threads=2,
+                         seed=0)
+    with pytest.raises(IOError):
+        next(loader.epoch(0))
+
+
+def test_aug_seed_is_deterministic():
+    """Augmentation keys derive from fold_in(PRNGKey(seed), epoch), not
+    PYTHONHASHSEED-randomized hash()."""
+    from simple_tad_tpu.train.engine import FinetuneTrainer
+    model, params = _tiny()
+    tr1 = FinetuneTrainer(model, None, None, seed=7)
+    k1 = jax.random.fold_in(jax.random.PRNGKey(7), 3)
+    k2 = jax.random.fold_in(jax.random.PRNGKey(7), 3)
+    assert np.array_equal(np.asarray(k1), np.asarray(k2))
+    assert tr1.seed == 7

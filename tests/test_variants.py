@@ -26,10 +26,12 @@ def ref_3d_pos_embed(dim, grid, t):
         return np.concatenate([np.sin(out), np.cos(out)], 1)
 
     d_sp, d_t = dim // 4 * 3, dim // 4
-    gw, gh = np.meshgrid(np.arange(grid, dtype=float),
-                         np.arange(grid, dtype=float))
-    spatial = np.concatenate([emb1d(d_sp // 2, gh.reshape(-1)),
-                              emb1d(d_sp // 2, gw.reshape(-1))], 1)
+    # reference: grid = np.meshgrid(grid_w, grid_h); first concat half
+    # encodes grid[0], which is the W-coordinate mesh (meshgrid 'xy').
+    grid0, grid1 = np.meshgrid(np.arange(grid, dtype=float),
+                               np.arange(grid, dtype=float))
+    spatial = np.concatenate([emb1d(d_sp // 2, grid0.reshape(-1)),
+                              emb1d(d_sp // 2, grid1.reshape(-1))], 1)
     temporal = emb1d(d_t, np.arange(t, dtype=float))
     temporal = np.repeat(temporal[:, None], grid * grid, 1)
     spatial = np.repeat(spatial[None], t, 0)
@@ -39,6 +41,29 @@ def ref_3d_pos_embed(dim, grid, t):
 def test_3d_pos_embed_matches_reference_math():
     got = sincos_3d_pos_embed(64, 4, 2)
     want = ref_3d_pos_embed(64, 4, 2)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_3d_pos_embed_matches_upstream_module():
+    """Run the actual upstream numpy function when the reference checkout
+    is mounted; guards against the restated oracle drifting with the impl."""
+    import importlib.util
+    import os
+    path = ("/root/reference/other_models/MVD/modeling_finetune.py")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not mounted")
+    src = open(path).read()
+    ns = {"np": np, "torch": torch}
+    # pull just the two pure-numpy helpers out of the file
+    import ast
+    tree = ast.parse(src)
+    keep = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+            and n.name in ("get_3d_sincos_pos_embed",
+                           "get_2d_sincos_pos_embed_from_grid",
+                           "get_1d_sincos_pos_embed_from_grid")]
+    exec(compile(ast.Module(body=keep, type_ignores=[]), path, "exec"), ns)
+    want = ns["get_3d_sincos_pos_embed"](96, 5, 3).numpy()
+    got = sincos_3d_pos_embed(96, 5, 3)
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
