@@ -151,6 +151,15 @@ def main(argv=None):
     p.add_argument("--data_path", required=True)
     p.add_argument("--split", default="val_split.txt")
     p.add_argument("--out", required=True)
+    p = sub.add_parser("prepare-views",
+                       help="precompute pretrain view lists (the reference's"
+                            " *_prepared datasets, bdd100k.py:164-188)")
+    p.add_argument("--data_set", default="DoTA")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--view_fps", type=int, default=10)
+    p.add_argument("--sampling_rate", type=int, default=4)
     args = parser.parse_args(argv)
 
     if args.cmd == "frames2zip":
@@ -175,6 +184,17 @@ def main(argv=None):
         df = anno_for_predictions(args.data_set, args.data_path, args.split,
                                   args.out)
         print(f"wrote {len(df)} rows to {args.out}")
+    elif args.cmd == "prepare-views":
+        from simple_tad_tpu.cli.pretrain import _build_source
+        from simple_tad_tpu.data.pretrain_datasets import save_view_list
+
+        class _Cfg:
+            num_frames = args.num_frames
+            view_fps = args.view_fps
+            sampling_rate = args.sampling_rate
+        ds = _build_source(args.data_set, args.data_path, _Cfg)
+        save_view_list(ds.samples, args.out)
+        print(f"wrote {len(ds.samples)} views to {args.out}")
 
 
 if __name__ == "__main__":

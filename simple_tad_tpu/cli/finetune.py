@@ -158,7 +158,7 @@ def main(argv=None):
     trainer = FinetuneTrainer(model, step, state, crop_size=cfg.input_size,
                               reprob=cfg.reprob, dtype=dtype,
                               log_writer=log_writer, seed=cfg.seed,
-                              mesh=mesh)
+                              mesh=mesh, zero_stage=cfg.zero_stage)
     evaluator = None
 
     for epoch in range(start_epoch, cfg.epochs):

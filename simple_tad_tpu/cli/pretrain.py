@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from simple_tad_tpu.config import PretrainConfig
 
 
-def _build_source(data_set: str, data_path: str, cfg):
+def _build_source(data_set: str, data_path: str, cfg,
+                  view_list: str = ""):
     from simple_tad_tpu.data.frame_datasets import (read_dada_clips,
                                                     read_dota_clips)
     from simple_tad_tpu.data.pretrain_datasets import (
@@ -49,7 +50,8 @@ def _build_source(data_set: str, data_path: str, cfg):
         raise ValueError(data_set)
     return PretrainWindowDataset(
         source, view_len=cfg.num_frames, target_fps=cfg.view_fps,
-        orig_fps=orig_fps, view_step=cfg.sampling_rate)
+        orig_fps=orig_fps, view_step=cfg.sampling_rate,
+        view_list=view_list or None)
 
 
 def main(argv=None):
@@ -86,7 +88,7 @@ def main(argv=None):
         mesh = make_mesh()
         batch_sh = batch_sharding(mesh)
 
-    ds1 = _build_source(cfg.data_set, cfg.data_path, cfg)
+    ds1 = _build_source(cfg.data_set, cfg.data_path, cfg, cfg.view_list)
     loader1 = PretrainLoader(ds1, cfg.batch_size * n_dev,
                              window_size=window_size,
                              mask_ratio=cfg.mask_ratio, seed=cfg.seed,
@@ -94,7 +96,8 @@ def main(argv=None):
                              num_threads=cfg.num_workers)
     loader2 = None
     if cfg.data_set2:
-        ds2 = _build_source(cfg.data_set2, cfg.data_path2, cfg)
+        ds2 = _build_source(cfg.data_set2, cfg.data_path2, cfg,
+                            cfg.view_list2)
         loader2 = PretrainLoader(
             ds2, (cfg.batch_size2 or cfg.batch_size) * n_dev,
             window_size=window_size, mask_ratio=cfg.mask_ratio,

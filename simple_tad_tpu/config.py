@@ -21,6 +21,10 @@ class FinetuneConfig:
     batch_size: int = 64
     epochs: int = 30
     update_freq: int = 1
+    # ZeRO-style optimizer-state sharding over the data mesh (the
+    # reference's DeepSpeed --zero_stage / --enable_deepspeed analog,
+    # utils.py:547-594); no-op on a single device
+    zero_stage: int = 0
     # data
     data_set: str = "DoTA"                 # DoTA | DADA2K
     data_path: str = ""
@@ -146,6 +150,10 @@ class PretrainConfig:
     data_set2: str = ""
     data_path: str = ""
     data_path2: str = ""
+    # precomputed view lists (the *_prepared datasets: skip the per-clip
+    # duration scan at startup; see data.pretrain_datasets.load_view_list)
+    view_list: str = ""
+    view_list2: str = ""
     mask_type: str = "tube"
     mask_ratio: float = 0.9
     num_frames: int = 16

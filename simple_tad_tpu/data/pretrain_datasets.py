@@ -118,13 +118,53 @@ class VideoFileSource:
         return np.stack([out[int(i)] for i in frame_idx])
 
 
+def load_view_list(path: str):
+    """Read a precomputed (clip_idx, frame_indices) view list.
+
+    Two formats, matching the reference's *_prepared datasets:
+      .txt — lines ``clip_idx, [f0, f1, ...]`` (bdd100k.py:179-188)
+      .pkl — pickled list of (clip_idx, frame_indices) (dada.py:686-691)
+    Skipping the per-clip duration scan at startup is the whole point:
+    for thousands of videos that scan costs minutes per run.
+    """
+    samples = []
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            for ci, seq in pickle.load(f):
+                samples.append((int(ci), np.asarray(seq, np.int64)))
+        return samples
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            ci, rest = line.split(",", 1)
+            seq = [int(x) for x in rest.strip().strip("[]").split(",")]
+            samples.append((int(ci), np.asarray(seq, np.int64)))
+    return samples
+
+
+def save_view_list(samples, path: str) -> None:
+    """Write samples in the .txt view-list format (see load_view_list)."""
+    with open(path, "w") as f:
+        for ci, seq in samples:
+            f.write(f"{int(ci)}, [{', '.join(str(int(x)) for x in seq)}]\n")
+
+
 class PretrainWindowDataset:
     """Window enumeration over a frame source (RegularSequencer,
-    dota.py:611-633)."""
+    dota.py:611-633).  Pass ``view_list`` to load precomputed views
+    instead of scanning clip durations (the *_prepared variants,
+    bdd100k.py:164-188, dada.py:666-691)."""
 
     def __init__(self, source, *, view_len: int = 16, target_fps: int = 10,
-                 orig_fps: int = 10, view_step: int = 4):
+                 orig_fps: int = 10, view_step: int = 4,
+                 view_list: Optional[str] = None):
         self.source = source
+        if view_list:
+            self.samples = load_view_list(view_list)
+            return
         seq = RegularSequencer(seq_frequency=target_fps, seq_length=view_len,
                                step=view_step)
         self.samples = []

@@ -168,7 +168,8 @@ class FinetuneTrainer:
     def __init__(self, model, train_step, state, *, crop_size: int = 224,
                  aug_magnitude: float = 6.0, aug_layers: int = 3,
                  reprob: float = 0.25, dtype=jnp.bfloat16,
-                 log_writer=None, seed: int = 0, mesh=None):
+                 log_writer=None, seed: int = 0, mesh=None,
+                 zero_stage: int = 0):
         self.model = model
         self.train_step = train_step
         self.state = state
@@ -184,10 +185,16 @@ class FinetuneTrainer:
         self.mesh = mesh
         self._batch_sh = None
         if mesh is not None:
-            from simple_tad_tpu.parallel.mesh import batch_sharding, \
-                replicated
+            from simple_tad_tpu.parallel.mesh import (
+                batch_sharding, optimizer_state_sharding, replicated)
             self._batch_sh = batch_sharding(mesh)
             self.state = jax.device_put(self.state, replicated(mesh))
+            if zero_stage:
+                # ZeRO-style: Adam moments sharded over the data axis
+                # (utils.py:547-594 DeepSpeed config equivalent)
+                self.state = self.state.replace(opt_state=jax.device_put(
+                    self.state.opt_state,
+                    optimizer_state_sharding(mesh, self.state.opt_state)))
 
     def _put(self, x):
         if self._batch_sh is not None:

@@ -50,3 +50,38 @@ def test_build_pretraining_dataset(roots):
     assert len(ds) > 0
     w = ds.get_window(0)
     assert w.shape[0] == 16
+
+
+def test_prepared_view_list_roundtrip(tmp_path, roots):
+    """prepare-views writes the reference txt format; loading it into
+    PretrainWindowDataset reproduces the scanned samples exactly
+    (bdd100k.py:164-188 *_prepared semantics)."""
+    import numpy as np
+    from simple_tad_tpu.cli.data_tools import main as tools_main
+    from simple_tad_tpu.cli.pretrain import _build_source
+    from simple_tad_tpu.data.pretrain_datasets import load_view_list
+
+    dota_root, _ = roots
+    out = str(tmp_path / "views.txt")
+    tools_main(["prepare-views", "--data_set", "DoTA",
+                "--data_path", dota_root, "--out", out,
+                "--num_frames", "8", "--sampling_rate", "2"])
+
+    class _Cfg:
+        num_frames = 8
+        view_fps = 10
+        sampling_rate = 2
+    scanned = _build_source("DoTA", dota_root, _Cfg)
+    prepared = _build_source("DoTA", dota_root, _Cfg, view_list=out)
+    assert len(prepared) == len(scanned) > 0
+    for (c1, s1), (c2, s2) in zip(prepared.samples, scanned.samples):
+        assert c1 == c2
+        np.testing.assert_array_equal(s1, s2)
+    # pkl flavor (dada.py:686-691)
+    import pickle
+    pkl = str(tmp_path / "views.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump([(c, list(map(int, s))) for c, s in scanned.samples], f)
+    again = load_view_list(pkl)
+    assert len(again) == len(scanned)
+    np.testing.assert_array_equal(again[0][1], scanned.samples[0][1])
