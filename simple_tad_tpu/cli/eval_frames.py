@@ -73,7 +73,7 @@ def main(argv=None):
 
     ev = FrameEvaluator(model, params, batch_size=cfg.batch_size,
                         frame_bucket=cfg.frame_bucket, dtype=dtype,
-                        quant8=cfg.quant8)
+                        quant8=cfg.quant8, quant8_mode=cfg.quant8_mode)
     res = ev.evaluate(ds)
     print(f"AUROC {res.metrics.auroc:.4f}  AP {res.metrics.ap:.4f}  "
           f"AUC-MCC {res.metrics.mcc_auc:.4f}  MCC@0.5 {res.metrics.mcc_05:.4f}  "

@@ -96,6 +96,7 @@ class FinetuneConfig:
     attn_impl: str = "auto"
     frame_bucket: int = 128
     quant8: bool = False      # int8 GEMM inference (see ops/quant.py)
+    quant8_mode: str = "static"   # static (calibrated) | dynamic
 
     def save(self, path: str):
         with open(path, "w") as f:

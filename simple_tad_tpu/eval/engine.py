@@ -68,14 +68,26 @@ class FrameEvaluator:
     def __init__(self, model, params, *, batch_size: int = 96,
                  frame_bucket: int = 128, dtype=jnp.bfloat16,
                  resize_on_host: bool = False, fold_norm: bool = True,
-                 quant8: bool = False, mean=None, std=None):
+                 quant8: bool = False, quant8_mode: str = "static",
+                 mean=None, std=None):
         if quant8:
-            # int8 GEMM inference: swap in the quant model + params
+            if quant8_mode not in ("static", "dynamic"):
+                raise ValueError(
+                    f"quant8_mode must be 'static' or 'dynamic', "
+                    f"got {quant8_mode!r}")
+            # int8 GEMM inference: swap in the quant model + params.
+            # 'static' needs calibration — call .calibrate(dataset) (or
+            # evaluate() does it automatically on the first clip) to fill
+            # the per-layer activation scales
             import dataclasses as _dc
             from simple_tad_tpu.models.vit import VisionTransformer
             from simple_tad_tpu.ops.quant import quantize_vit_params
-            model = VisionTransformer(_dc.replace(model.cfg, quant=True))
+            model = VisionTransformer(_dc.replace(model.cfg, quant=True,
+                                                  quant_mode=quant8_mode))
             params = quantize_vit_params(params)
+        self.quant8 = quant8
+        self.quant8_mode = quant8_mode if quant8 else ""
+        self._calibrated = quant8_mode != "static"
         self.model = model
         self.batch_size = batch_size
         self.frame_bucket = frame_bucket
@@ -122,10 +134,49 @@ class FrameEvaluator:
                                   frames.dtype)])
         return jnp.asarray(frames), f
 
+    def calibrate(self, dataset: FrameDataset, n_views: int = 2) -> None:
+        """PTQ activation calibration for quant8_mode='static': run a few
+        clips through a calib-mode twin of the model (same pixel path) and
+        write the observed per-layer absmax into the params."""
+        if self._calibrated or not self.quant8:
+            self._calibrated = True
+            return
+        import dataclasses as _dc
+        from simple_tad_tpu.models.vit import VisionTransformer
+        from simple_tad_tpu.ops.quant import (apply_act_amax,
+                                              calibrate_act_amax)
+        calib_model = VisionTransformer(
+            _dc.replace(self.model.cfg, quant_mode="calib"))
+        views = dataset.clip_eval_views()[:n_views]
+        batches = []
+        for view in views:
+            frames = dataset.decode_clip_frames(
+                view, resize_on_host=self.resize_on_host)
+            dev_frames, _ = self._device_frames(frames)
+            if not self.resize_on_host:
+                dev_frames = jnp.clip(image_ops.resize_bicubic(
+                    dev_frames, (self.crop, self.crop)), 0.0, 255.0)
+            chunk = view.window_idx[:min(self.batch_size,
+                                         view.window_idx.shape[0])]
+            if self.fold_norm:
+                w = jnp.take(dev_frames.astype(self.dtype),
+                             jnp.asarray(chunk), axis=0)
+            else:
+                x = image_ops.normalize(dev_frames, self.mean, self.std,
+                                        dtype=self.dtype)
+                w = jnp.take(x, jnp.asarray(chunk), axis=0)
+            batches.append(w)
+        amax = calibrate_act_amax(calib_model, self.params, batches,
+                                  deterministic=True)
+        self.params = apply_act_amax(self.params, amax)
+        self._calibrated = True
+
     def score_view_async(self, dataset: FrameDataset, view: ClipEvalView):
         """Dispatch all window chunks of one clip; -> list of (device
         logits, valid_count).  Dispatch-then-fetch keeps the device busy
         and hides per-call host latency (do NOT fetch between chunks)."""
+        if not self._calibrated:
+            self.calibrate(dataset)
         frames = dataset.decode_clip_frames(
             view, resize_on_host=self.resize_on_host)
         dev_frames, _ = self._device_frames(frames)

@@ -113,20 +113,40 @@ def drop_path(x, rate, deterministic: bool, rng=None):
 
 
 class QuantDense(nn.Module):
-    """Int8 weight / dynamic int8 activation Dense (inference-only; params
-    come from ops.quant.quantize_vit_params, never from init)."""
+    """Int8 weight Dense (inference-only; params come from
+    ops.quant.quantize_vit_params, never from init).
+
+    mode: 'dynamic' per-row activation scales computed on the fly;
+          'static' calibrated per-tensor act_amax param (faster: no
+          data-dependent reduction before the matmul, XLA fuses the
+          quantize into the producer epilogue);
+          'calib'  dynamic compute + sow the input absmax into the
+          'calib' collection for ops.quant.calibrate_act_amax.
+    """
     in_dim: int
     out_dim: int
     use_bias: bool = True
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
-        from simple_tad_tpu.ops.quant import int8_matmul
+        from simple_tad_tpu.ops.quant import int8_matmul, int8_matmul_static
+        if self.mode not in ("dynamic", "static", "calib"):
+            raise ValueError(f"unknown quant mode {self.mode!r}")
         kq = self.param("kernel_q", nn.initializers.zeros,
                         (self.in_dim, self.out_dim), jnp.int8)
         ks = self.param("kernel_scale", nn.initializers.ones,
                         (self.out_dim,))
-        y = int8_matmul(x, kq, ks)
+        if self.mode == "static":
+            amax = self.param("act_amax", nn.initializers.ones, ())
+            y = int8_matmul_static(x, kq, ks, amax)
+        else:
+            if self.mode == "calib":
+                self.sow("calib", "amax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros(()))
+            y = int8_matmul(x, kq, ks)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_dim,))
@@ -143,14 +163,17 @@ class Mlp(nn.Module):
     hidden_dim: int
     drop: float = 0.0
     quant: bool = False
+    quant_mode: str = "dynamic"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.quant:
-            x = QuantDense(self.dim, self.hidden_dim, name="fc1")(x)
+            x = QuantDense(self.dim, self.hidden_dim, mode=self.quant_mode,
+                           name="fc1")(x)
             x = gelu_for(self.dtype)(x)
             return QuantDense(self.hidden_dim, self.dim,
+                              mode=self.quant_mode,
                               name="fc2")(x).astype(self.dtype)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init(0.02),
@@ -184,6 +207,7 @@ class Attention(nn.Module):
     attn_head_dim: Optional[int] = None
     attn_impl: str = "auto"   # auto | naive | xla | pallas
     quant: bool = False
+    quant_mode: str = "dynamic"   # dynamic | static | calib
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -194,12 +218,23 @@ class Attention(nn.Module):
         scale = self.qk_scale or head_dim ** -0.5
 
         if self.quant:
-            from simple_tad_tpu.ops.quant import int8_matmul
+            from simple_tad_tpu.ops.quant import (int8_matmul,
+                                                  int8_matmul_static)
             qkv_q = self.param("qkv_q", nn.initializers.zeros,
                                (C, 3 * all_head_dim), jnp.int8)
             qkv_s = self.param("qkv_scale", nn.initializers.ones,
                                (3 * all_head_dim,))
-            qkv = int8_matmul(x, qkv_q, qkv_s).astype(self.dtype)
+            if self.quant_mode == "static":
+                amax = self.param("act_amax", nn.initializers.ones, ())
+                qkv = int8_matmul_static(x, qkv_q, qkv_s,
+                                         amax).astype(self.dtype)
+            else:
+                if self.quant_mode == "calib":
+                    self.sow("calib", "amax",
+                             jnp.max(jnp.abs(x.astype(jnp.float32))),
+                             reduce_fn=jnp.maximum,
+                             init_fn=lambda: jnp.zeros(()))
+                qkv = int8_matmul(x, qkv_q, qkv_s).astype(self.dtype)
         else:
             qkv_kernel = self.param("qkv_kernel", trunc_normal_init(0.02),
                                     (C, 3 * all_head_dim))
@@ -225,7 +260,7 @@ class Attention(nn.Module):
         out = out.reshape(B, N, all_head_dim)
 
         if self.quant:
-            out = QuantDense(all_head_dim, self.dim,
+            out = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,
                              name="proj")(out).astype(self.dtype)
         else:
             out = nn.Dense(self.dim, dtype=self.dtype,
@@ -255,6 +290,7 @@ class Block(nn.Module):
     attn_head_dim: Optional[int] = None
     attn_impl: str = "auto"
     quant: bool = False
+    quant_mode: str = "dynamic"
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
@@ -265,7 +301,8 @@ class Block(nn.Module):
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
             proj_drop=self.drop, attn_head_dim=self.attn_head_dim,
-            attn_impl=self.attn_impl, quant=self.quant, dtype=self.dtype,
+            attn_impl=self.attn_impl, quant=self.quant,
+            quant_mode=self.quant_mode, dtype=self.dtype,
             name="attn")(
                 LayerNormFp32(self.dim, self.norm_eps, self.dtype,
                               name="norm1")(x),
@@ -280,7 +317,8 @@ class Block(nn.Module):
         x = x + attn_out
 
         mlp_out = Mlp(self.dim, int(self.dim * self.mlp_ratio), drop=self.drop,
-                      quant=self.quant, dtype=self.dtype, name="mlp")(
+                      quant=self.quant, quant_mode=self.quant_mode,
+                      dtype=self.dtype, name="mlp")(
             LayerNormFp32(self.dim, self.norm_eps, self.dtype, name="norm2")(x),
             deterministic=deterministic)
         if self.init_values > 0:

@@ -61,8 +61,12 @@ class ViTConfig:
     pos_embed_kind: str = "sincos"
     use_cls_token: bool = False
     # int8 GEMM inference path (ops/quant.py); params must come from
-    # quantize_vit_params — training/init unsupported in quant mode
+    # quantize_vit_params — training/init unsupported in quant mode.
+    # quant_mode: 'dynamic' per-row act scales; 'static' calibrated
+    # per-tensor act_amax params (faster); 'calib' sow absmax for
+    # ops.quant.calibrate_act_amax
     quant: bool = False
+    quant_mode: str = "dynamic"
 
     @property
     def num_patches(self) -> int:
@@ -81,7 +85,8 @@ class VisionTransformer(nn.Module):
             mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
             qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
             attn_drop=cfg.attn_drop_rate, init_values=cfg.init_values,
-            attn_impl=cfg.attn_impl, quant=cfg.quant, dtype=cfg.dtype,
+            attn_impl=cfg.attn_impl, quant=cfg.quant,
+            quant_mode=cfg.quant_mode, dtype=cfg.dtype,
             name="blocks")
 
         def body(blk, carry, rate):
@@ -92,7 +97,7 @@ class VisionTransformer(nn.Module):
         if cfg.scan_blocks:
             scan = nn.scan(
                 body,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "calib": 0},
                 split_rngs={"params": True, "dropout": True, "droppath": True},
                 in_axes=0, length=cfg.depth)
             x, _ = scan(block, x, dpr)
