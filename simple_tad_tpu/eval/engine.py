@@ -80,11 +80,17 @@ class FrameEvaluator:
             # evaluate() does it automatically on the first clip) to fill
             # the per-layer activation scales
             import dataclasses as _dc
+            from simple_tad_tpu.models.internvideo2 import InternVideo2
             from simple_tad_tpu.models.vit import VisionTransformer
-            from simple_tad_tpu.ops.quant import quantize_vit_params
-            model = VisionTransformer(_dc.replace(model.cfg, quant=True,
-                                                  quant_mode=quant8_mode))
-            params = quantize_vit_params(params)
+            from simple_tad_tpu.ops.quant import (quantize_iv2_params,
+                                                  quantize_vit_params)
+            cfg = _dc.replace(model.cfg, quant=True, quant_mode=quant8_mode)
+            if isinstance(model, InternVideo2):
+                model = InternVideo2(cfg)
+                params = quantize_iv2_params(params)
+            else:
+                model = VisionTransformer(cfg)
+                params = quantize_vit_params(params)
         self.quant8 = quant8
         self.quant8_mode = quant8_mode if quant8 else ""
         self._calibrated = quant8_mode != "static"
@@ -142,10 +148,9 @@ class FrameEvaluator:
             self._calibrated = True
             return
         import dataclasses as _dc
-        from simple_tad_tpu.models.vit import VisionTransformer
         from simple_tad_tpu.ops.quant import (apply_act_amax,
                                               calibrate_act_amax)
-        calib_model = VisionTransformer(
+        calib_model = type(self.model)(
             _dc.replace(self.model.cfg, quant_mode="calib"))
         views = dataset.clip_eval_views()[:n_views]
         batches = []

@@ -74,15 +74,23 @@ class IV2Attention(nn.Module):
     qkv_bias: bool = False
     qk_normalization: bool = True
     attn_impl: str = "auto"
+    quant: bool = False
+    quant_mode: str = "dynamic"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from simple_tad_tpu.models.layers import QuantDense
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02),
-                       bias_init=nn.initializers.zeros, name="qkv")(x)
+        if self.quant:
+            qkv = QuantDense(C, 3 * C, use_bias=self.qkv_bias,
+                             mode=self.quant_mode,
+                             name="qkv")(x).astype(self.dtype)
+        else:
+            qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(0.02),
+                           bias_init=nn.initializers.zeros, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, C)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, C)
         if self.qk_normalization:
@@ -95,6 +103,9 @@ class IV2Attention(nn.Module):
                                     impl=self.attn_impl,
                                     deterministic=deterministic)
         out = out.reshape(B, N, C)
+        if self.quant:
+            return QuantDense(C, C, mode=self.quant_mode,
+                              name="proj")(out).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype,
                         kernel_init=trunc_normal_init(0.02),
                         bias_init=nn.initializers.zeros, name="proj")(out)
@@ -110,10 +121,13 @@ class IV2Block(nn.Module):
     init_values: float = 1e-5
     qk_normalization: bool = True
     attn_impl: str = "auto"
+    quant: bool = False
+    quant_mode: str = "dynamic"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True):
+        from simple_tad_tpu.models.layers import QuantDense
         use_dp = not deterministic
 
         def ls(name, h):
@@ -123,7 +137,8 @@ class IV2Block(nn.Module):
                     * gamma.astype(jnp.float32)).astype(self.dtype)
 
         h = IV2Attention(self.dim, self.num_heads, self.qkv_bias,
-                         self.qk_normalization, self.attn_impl, self.dtype,
+                         self.qk_normalization, self.attn_impl,
+                         self.quant, self.quant_mode, self.dtype,
                          name="attn")(
             RMSNorm(self.dim, dtype=self.dtype, name="norm1")(x),
             deterministic)
@@ -135,11 +150,18 @@ class IV2Block(nn.Module):
 
         hid = int(self.dim * self.mlp_ratio)
         h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(hid, dtype=self.dtype,
-                     kernel_init=trunc_normal_init(0.02), name="fc1")(h)
-        h = gelu_for(self.dtype)(h)
-        h = nn.Dense(self.dim, dtype=self.dtype,
-                     kernel_init=trunc_normal_init(0.02), name="fc2")(h)
+        if self.quant:
+            h = QuantDense(self.dim, hid, mode=self.quant_mode,
+                           name="fc1")(h)
+            h = gelu_for(self.dtype)(h)
+            h = QuantDense(hid, self.dim, mode=self.quant_mode,
+                           name="fc2")(h).astype(self.dtype)
+        else:
+            h = nn.Dense(hid, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(0.02), name="fc1")(h)
+            h = gelu_for(self.dtype)(h)
+            h = nn.Dense(self.dim, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(0.02), name="fc2")(h)
         h = ls("gamma_2", h)
         if use_dp:
             h = drop_path(h, drop_path_rate, deterministic,
@@ -216,6 +238,9 @@ class IV2Config:
     fc_drop_rate: float = 0.0
     init_scale: float = 0.001
     attn_impl: str = "auto"
+    # int8 GEMM inference (see ops/quant.py; params via quantize_iv2_params)
+    quant: bool = False
+    quant_mode: str = "dynamic"   # dynamic | static | calib
     dtype: Any = jnp.float32
     scan_blocks: bool = True
     remat: bool = False
@@ -305,7 +330,8 @@ class InternVideo2(nn.Module):
         dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         block = IV2Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                          cfg.qkv_bias, cfg.init_values,
-                         cfg.qk_normalization, cfg.attn_impl, cfg.dtype,
+                         cfg.qk_normalization, cfg.attn_impl,
+                         cfg.quant, cfg.quant_mode, cfg.dtype,
                          name="blocks")
 
         def body(blk, carry, rate):
@@ -314,7 +340,7 @@ class InternVideo2(nn.Module):
         if cfg.remat:
             body = nn.remat(body, prevent_cse=False)
         if cfg.scan_blocks:
-            scan = nn.scan(body, variable_axes={"params": 0},
+            scan = nn.scan(body, variable_axes={"params": 0, "calib": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},
                            in_axes=0, length=cfg.depth)

@@ -19,9 +19,14 @@ MEASURED (v5e, ViT-B batch-96 eval program):
   static calibrated per-tensor scales: 287 windows/s (+15% over bf16;
     no pre-matmul reduction, XLA fuses round/clip into the producer
     epilogue)
-Production recipe: quantize_vit_params + calibrate_act_amax on a few
-representative clips + apply_act_amax, model quant_mode='static'
-(FrameEvaluator does all three automatically with quant8=True).
+Static-mode wins scale with the GEMM share of runtime (v5e, measured):
+  ViT-B 249->287 w/s (+15%), ViT-L 85->106 (+25%),
+  InternVideo2-B 48.6->50.3 clips/s (+3.5% — its 2049-token sequence
+  makes attention the larger share).
+Production recipe: quantize_vit_params / quantize_iv2_params +
+calibrate_act_amax on a few representative clips + apply_act_amax,
+model quant_mode='static' (FrameEvaluator does all three automatically
+with quant8=True).
 Validate AUC on real data before deploying — int8 is opt-in; the
 default bf16 path is bit-stable against the fp32 reference.
 """
@@ -117,6 +122,37 @@ def apply_act_amax(params: Dict[str, Any], amax_tree) -> Dict[str, Any]:
     return jax.device_put(out)
 
 
+def _stack_quant(kernels: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(D, in, out) stacked fp kernels -> (int8 stack, (D, out) scales)."""
+    qs, scales = [], []
+    for i in range(kernels.shape[0]):
+        q, s = quantize_weight(np.asarray(kernels[i]))
+        qs.append(q)
+        scales.append(s)
+    return jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(scales))
+
+
+def quantize_iv2_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """fp InternVideo2 params -> quantized pytree (block GEMMs qkv/proj/
+    fc1/fc2 become int8 + per-channel scales; norms, LayerScale, pos
+    embeds, patch embed, attn-pool head stay fp).  Feed to a model built
+    with quant=True."""
+    out = jax.tree.map(lambda x: x, params)
+    blocks = dict(out["blocks"])
+    attn = {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in blocks["attn"].items()}
+    for parent, name in ((attn, "qkv"), (attn, "proj"),
+                         (blocks, "fc1"), (blocks, "fc2")):
+        sub = dict(parent[name])
+        kq, ks = _stack_quant(np.asarray(sub.pop("kernel")))
+        sub["kernel_q"] = kq
+        sub["kernel_scale"] = ks
+        parent[name] = sub
+    blocks["attn"] = attn
+    out["blocks"] = blocks
+    return jax.device_put(out)
+
+
 def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """fp32 VisionTransformer params -> quantized pytree: every block GEMM
     kernel becomes {*_q: int8, *_scale: f32(out,)} (stacked over depth);
@@ -127,25 +163,17 @@ def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
     attn = dict(blocks["attn"])
     mlp = {k: dict(v) for k, v in blocks["mlp"].items()}
 
-    def stack_quant(kernels):
-        qs, scales = [], []
-        for i in range(kernels.shape[0]):
-            q, s = quantize_weight(np.asarray(kernels[i]))
-            qs.append(q)
-            scales.append(s)
-        return (jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(scales)))
-
-    qkv_q, qkv_s = stack_quant(np.asarray(attn.pop("qkv_kernel")))
+    qkv_q, qkv_s = _stack_quant(np.asarray(attn.pop("qkv_kernel")))
     attn["qkv_q"] = qkv_q
     attn["qkv_scale"] = qkv_s
     proj = dict(attn["proj"])
-    pq, ps = stack_quant(np.asarray(proj.pop("kernel")))
+    pq, ps = _stack_quant(np.asarray(proj.pop("kernel")))
     proj["kernel_q"] = pq
     proj["kernel_scale"] = ps
     attn["proj"] = proj
     for name in ("fc1", "fc2"):
         sub = mlp[name]
-        kq, ks = stack_quant(np.asarray(sub.pop("kernel")))
+        kq, ks = _stack_quant(np.asarray(sub.pop("kernel")))
         sub["kernel_q"] = kq
         sub["kernel_scale"] = ks
     blocks["attn"] = attn

@@ -73,3 +73,36 @@ def test_evaluator_quant8(tmp_path):
     quant = FrameEvaluator(model, params, batch_size=16, dtype=jnp.float32,
                            quant8=True).score_view(ds, view)
     assert np.abs(base - quant).max() < 0.05
+
+
+def test_iv2_quant_static_matches_fp():
+    """InternVideo2 int8 path (dynamic + calibrated static) tracks the fp
+    forward on real-magnitude weights."""
+    import dataclasses as dc
+    from simple_tad_tpu.models.internvideo2 import IV2Config, InternVideo2
+    from simple_tad_tpu.ops.quant import (apply_act_amax,
+                                          calibrate_act_amax,
+                                          quantize_iv2_params)
+    cfg = IV2Config(img_size=28, patch_size=14, embed_dim=64, depth=2,
+                    num_heads=2, mlp_ratio=4.0, num_frames=4,
+                    attn_pool_num_heads=2, clip_embed_dim=32,
+                    drop_path_rate=0.0, init_scale=1.0, attn_impl="naive")
+    fp = InternVideo2(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 28, 28, 3))
+    params = fp.init(jax.random.PRNGKey(0), x)["params"]
+    # magnify so quantization error is observable relative to outputs
+    params = jax.tree.map(lambda a: a * 3.0 if a.ndim >= 2 else a, params)
+    ref = fp.apply({"params": params}, x)
+    qp = quantize_iv2_params(params)
+
+    dyn = InternVideo2(dc.replace(cfg, quant=True))
+    y_dyn = dyn.apply({"params": qp}, x)
+    calib = InternVideo2(dc.replace(cfg, quant=True, quant_mode="calib"))
+    amax = calibrate_act_amax(calib, qp, [x])
+    stat = InternVideo2(dc.replace(cfg, quant=True, quant_mode="static"))
+    y_st = stat.apply({"params": apply_act_amax(qp, amax)}, x)
+
+    scale = float(jnp.abs(ref).max())
+    assert scale > 1e-3   # outputs are non-degenerate
+    assert float(jnp.abs(y_dyn - ref).max()) < 0.05 * scale
+    assert float(jnp.abs(y_st - ref).max()) < 0.05 * scale
