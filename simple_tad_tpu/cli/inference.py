@@ -49,6 +49,9 @@ def main(argv=None):
                         help="score all windows in batches instead of "
                              "simulating a stream")
     parser.add_argument("--output_csv", default="")
+    parser.add_argument("--quant8", action="store_true",
+                        help="int8 GEMMs with static scales calibrated "
+                             "on the first frames (see ops/quant.py)")
     args = parser.parse_args(argv)
 
     from simple_tad_tpu.utils.cache import enable_persistent_cache
@@ -75,6 +78,23 @@ def main(argv=None):
     assert len(files) >= args.num_frames, "not enough frames"
 
     T, S = args.num_frames, args.input_size
+
+    if args.quant8:
+        import dataclasses as _dc
+        from simple_tad_tpu.models.vit import VisionTransformer
+        from simple_tad_tpu.ops.quant import (apply_act_amax,
+                                              calibrate_act_amax,
+                                              quantize_vit_params)
+        params = quantize_vit_params(params)
+        calib = VisionTransformer(_dc.replace(model.cfg, quant=True,
+                                              quant_mode="calib"))
+        first = np.stack([prepare_image(f, S) for f in files[:T]])
+        amax = calibrate_act_amax(
+            calib, params, [jnp.asarray(first[None]).astype(dtype)],
+            deterministic=True)
+        params = apply_act_amax(params, amax)
+        model = VisionTransformer(_dc.replace(model.cfg, quant=True,
+                                              quant_mode="static"))
 
     @jax.jit
     def streaming_step(params, window_u8, new_frame_u8):
