@@ -54,6 +54,10 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         if dropout_rate > 0.0 and not deterministic:
             impl = "naive"  # only the naive path implements attention dropout
         elif jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0:
+            # odd head dims (IV2-1B: 88) stay on XLA: the zero-padded
+            # kernel measured SLOWER (41.9 vs 35.7 ms at B8 N2049 H16
+            # D88->128 on v5e) — 45% padded-lane waste exceeds the
+            # single-pass win
             impl = "pallas"
         else:
             impl = "xla"
@@ -65,5 +69,16 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         return _xla_attention(q, k, v, scale)
     if impl == "pallas":
         from simple_tad_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, scale=scale)
+        dh = q.shape[-1]
+        if dh % 64 == 0:
+            return flash_attention(q, k, v, scale=scale)
+        # odd head dims (InternVideo2-1B: 88) — zero-pad to the next lane
+        # multiple; padded q/k columns contribute 0 to every score and
+        # padded v columns produce output columns we slice off, so the
+        # result is exact.
+        pad = (-dh) % 64
+        cfg = [(0, 0)] * (q.ndim - 1) + [(0, pad)]
+        out = flash_attention(jnp.pad(q, cfg), jnp.pad(k, cfg),
+                              jnp.pad(v, cfg), scale=scale)
+        return out[..., :dh]
     raise ValueError(f"unknown attention impl: {impl!r}")

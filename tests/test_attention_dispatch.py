@@ -65,3 +65,17 @@ def test_pallas_interpret_large_head_dim():
         got = flash_attention(q, k, v, scale=128 ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_odd_head_dim_padded():
+    """Head dim 88 (InternVideo2-1B) routes through the kernel via
+    zero-padding to 128; result must be exact vs naive."""
+    from jax.experimental.pallas import tpu as pltpu
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = [jax.random.normal(kk, (1, 64, 2, 88)) for kk in ks]
+    want = dot_product_attention(q, k, v, scale=88 ** -0.5, impl="naive")
+    with pltpu.force_tpu_interpret_mode():
+        got = dot_product_attention(q, k, v, scale=88 ** -0.5,
+                                    impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
