@@ -161,11 +161,18 @@ def main(argv=None):
         clip_len=args.num_frames, frame_sample_rate=args.sampling_rate,
         crop_size=args.input_size, short_side_size=args.short_side_size,
         sparse_sampling=args.sparse_sampling)
-    steps = max(len(train_ds) // args.batch_size, 1)
-    # batch_size here is the global batch (this driver runs single-device
-    # batches; see cli.finetune for the mesh-sharded data-parallel wiring),
-    # so LR scales by it alone — no device_count factor
-    lr = args.lr * args.batch_size / 256.0
+    # batch_size is per-device; train batches are global and sharded over
+    # a 1-D data mesh like cli.finetune
+    n_dev = jax.device_count()
+    batch_sh = None
+    if n_dev > 1:
+        from simple_tad_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                  replicated)
+        mesh = make_mesh()
+        batch_sh = batch_sharding(mesh)
+    global_batch = args.batch_size * n_dev
+    steps = max(len(train_ds) // global_batch, 1)
+    lr = args.lr * global_batch / 256.0
     lr_sched = O.cosine_scheduler(lr, args.min_lr, args.epochs, steps,
                                   warmup_epochs=args.warmup_epochs)
     tx = O.create_optimizer(params, lr_schedule=O.array_schedule(lr_sched),
@@ -174,15 +181,26 @@ def main(argv=None):
                             depth=model.cfg.depth, clip_grad=args.clip_grad)
     step_fn = make_finetune_train_step(model, tx, criterion)
     state = TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1))
+    if batch_sh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    def put(x):
+        if batch_sh is not None:
+            return jax.device_put(np.asarray(x), batch_sh)
+        return jnp.asarray(x)
     rng = np.random.default_rng(args.seed)
     aug_key = jax.random.PRNGKey(args.seed + 2)
 
     for epoch in range(args.epochs):
         ml = MetricLogger(print_freq=10)
-        order = rng.permutation(len(train_ds))[: steps * args.batch_size]
+        order = rng.permutation(len(train_ds))[: steps * global_batch]
+        if len(order) < steps * global_batch:
+            # tiny dataset: wrap indices so every batch is full (sharding
+            # needs the global batch divisible by the device count)
+            order = np.resize(order, steps * global_batch)
         t0 = time.time()
         for s in ml.log_every(range(steps), header=f"Epoch [{epoch}]"):
-            idxs = order[s * args.batch_size:(s + 1) * args.batch_size]
+            idxs = order[s * global_batch:(s + 1) * global_batch]
             clips, ys = zip(*(train_ds.get_train_clip(int(i), rng)
                               for i in idxs))
             h = min(c.shape[1] for c in clips)
@@ -190,10 +208,11 @@ def main(argv=None):
             clips = np.stack([c[:, :h, :w] for c in clips])
             aug_key, k = jax.random.split(aug_key)
             video, targets = train_augment_cls(
-                jnp.asarray(clips), jnp.asarray(np.asarray(ys)), k)
+                put(clips), put(np.asarray(ys)), k)
             batch = {"video": video,
-                     "label": jnp.asarray(np.asarray(ys)),
-                     "smoothed": targets, "ttc": jnp.zeros(len(ys))}
+                     "label": put(np.asarray(ys)),
+                     "smoothed": targets,
+                     "ttc": put(np.zeros(len(ys), np.float32))}
             state, (metrics, _) = step_fn(state, batch)
             ml.update(loss=float(metrics["loss"]))
         print(f"[epoch {epoch}] loss {ml.epoch_stats().get('loss', 0):.4f} "

@@ -130,12 +130,20 @@ def main(argv=None):
                       target_fps=args.view_fps, orig_fps=orig_fps,
                       view_step=args.sampling_rate,
                       crop_size=args.input_size)
-    loader = TrainLoader(ds, args.batch_size, seed=args.seed,
+    # batch_size is per-device; loader batches are global and sharded
+    # over a 1-D data mesh like cli.finetune
+    n_dev = jax.device_count()
+    batch_sh = None
+    if n_dev > 1:
+        from simple_tad_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                  replicated)
+        mesh = make_mesh()
+        batch_sh = batch_sharding(mesh)
+        t_params = jax.device_put(t_params, replicated(mesh))
+    loader = TrainLoader(ds, args.batch_size * n_dev, seed=args.seed,
                          num_threads=args.num_workers)
     steps = loader.steps_per_epoch()
-    # batch_size is the global batch in this driver (single-device batches;
-    # cli.finetune has the mesh-sharded path) — no device_count factor
-    lr = args.lr * args.batch_size / 256.0
+    lr = args.lr * args.batch_size * n_dev / 256.0
     sched = O.cosine_scheduler(lr, 1e-6, args.epochs, steps,
                                warmup_epochs=args.warmup_epochs)
     tx = O.create_optimizer(s_params, lr_schedule=O.array_schedule(sched),
@@ -144,6 +152,14 @@ def main(argv=None):
                                 temperature=args.temperature)
     state = TrainState.create(s_params, tx,
                               jax.random.PRNGKey(args.seed + 2))
+    if batch_sh is not None:
+        from simple_tad_tpu.parallel.mesh import replicated
+        state = jax.device_put(state, replicated(mesh))
+
+    def put(x):
+        if batch_sh is not None:
+            return jax.device_put(np.asarray(x), batch_sh)
+        return jnp.asarray(x)
     aug_key = jax.random.PRNGKey(args.seed + 3)
 
     for epoch in range(args.epochs):
@@ -152,11 +168,11 @@ def main(argv=None):
         for batch in ml.log_every(loader.epoch(epoch),
                                   header=f"Epoch [{epoch}]"):
             aug_key, k = jax.random.split(aug_key)
-            video = train_augment(jnp.asarray(batch["video_u8"]), k,
+            video = train_augment(put(batch["video_u8"]), k,
                                   crop_size=args.input_size,
                                   reprob=args.reprob, dtype=dtype)
             dev_batch = {"video": video,
-                         "label": jnp.asarray(batch["label"])}
+                         "label": put(batch["label"])}
             state, (metrics, _) = step_fn(state, dev_batch, t_params)
             ml.update(loss=float(metrics["loss"]), kd=float(metrics["kd"]),
                       ce=float(metrics["ce"]))

@@ -119,11 +119,12 @@ def test_class_finetune_cli(video_root, tmp_path):
         "--anno_train", anno, "--anno_val", anno, "--data_path", root,
         "--model", "vit_small_patch16_224", "--nb_classes", "2",
         "--num_frames", "8", "--sampling_rate", "2", "--input_size", "32",
-        "--short_side_size", "40", "--batch_size", "2", "--epochs", "1",
+        # per-device batch 1 -> global batch 8 on the 8-device conftest mesh
+        "--short_side_size", "40", "--batch_size", "1", "--epochs", "1",
         "--warmup_epochs", "0", "--output_dir", out,
         "--dtype", "float32", "--attn_impl", "naive",
     ])
-    assert int(state.step) == 2
+    assert int(state.step) == 1   # 4 clips wrap into one global batch of 8
     assert os.path.exists(os.path.join(out, "checkpoint-last"))
     # eval mode with multi-view merge
     top1, top5 = main([

@@ -56,7 +56,8 @@ def test_distill_cli_one_epoch(tmp_path):
         "--model", "vit_small_patch16_224",
         "--teacher_model", "vit_small_patch16_224",
         "--input_size", "32", "--num_frames", "16",
-        "--batch_size", "4", "--epochs", "1", "--warmup_epochs", "0",
+        # per-device batch 1 -> global batch 8 on the 8-device conftest mesh
+        "--batch_size", "1", "--epochs", "1", "--warmup_epochs", "0",
         "--output_dir", out, "--dtype", "float32",
         "--attn_impl", "naive", "--num_workers", "2",
     ])
