@@ -66,12 +66,56 @@ def main():
         results[batch] = round(wps, 1)
         best = max(best, wps)
 
+    # secondary: opt-in int8 path (static calibrated scales; docs/QUANT.md).
+    # Headline stays bf16 — int8 AUC is unvalidated on real data.
+    quant_wps = None
+    try:
+        import dataclasses as dc
+        from simple_tad_tpu.models.vit import VisionTransformer
+        from simple_tad_tpu.ops.quant import (apply_act_amax,
+                                              calibrate_act_amax,
+                                              quantize_vit_params)
+        qp = quantize_vit_params(params)
+        calib = VisionTransformer(dc.replace(model.cfg, quant=True,
+                                             quant_mode="calib"))
+        xcal = jnp.take(frame_bufs[-1],
+                        jnp.arange(16)[None].repeat(2, 0),
+                        axis=0).astype(jnp.bfloat16)
+        qps = apply_act_amax(qp, calibrate_act_amax(calib, qp, [xcal],
+                                                    deterministic=True))
+        qmodel = VisionTransformer(dc.replace(model.cfg, quant=True,
+                                              quant_mode="static"))
+
+        @jax.jit
+        def qscore(p, frames_u8, window_idx):
+            w = jnp.take(frames_u8, window_idx,
+                         axis=0).astype(jnp.bfloat16)
+            return qmodel.apply({"params": p}, w,
+                                deterministic=True).astype(jnp.float32)
+
+        batch = 96
+        idx = jnp.asarray(np.stack([np.arange(i, i + 16)
+                                    for i in range(batch)]) % 128,
+                          jnp.int32)
+        qscore(qps, frame_bufs[-1], idx).block_until_ready()
+        times = []
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            outs = [qscore(qps, frame_bufs[rep * per_rep + i], idx)
+                    for i in range(per_rep)]
+            jax.block_until_ready(outs)
+            times.append((time.perf_counter() - t0) / per_rep)
+        quant_wps = round(batch / min(times), 1)
+    except Exception:   # never let the opt-in path break the headline
+        pass
+
     print(json.dumps({
         "metric": "ViT-B 16x224 sliding-window inference throughput",
         "value": round(best, 1),
         "unit": "windows/s/chip",
         "vs_baseline": round(best / A100_BASELINE_FPS, 2),
-        "detail": {"windows_per_sec_by_batch": results},
+        "detail": {"windows_per_sec_by_batch": results,
+                   "int8_static_quant_windows_per_sec": quant_wps},
     }))
 
 
