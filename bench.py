@@ -70,21 +70,12 @@ def main():
     # Headline stays bf16 — int8 AUC is unvalidated on real data.
     quant_wps = None
     try:
-        import dataclasses as dc
-        from simple_tad_tpu.models.vit import VisionTransformer
-        from simple_tad_tpu.ops.quant import (apply_act_amax,
-                                              calibrate_act_amax,
-                                              quantize_vit_params)
-        qp = quantize_vit_params(params)
-        calib = VisionTransformer(dc.replace(model.cfg, quant=True,
-                                             quant_mode="calib"))
+        from simple_tad_tpu.ops.quant import quantize_and_calibrate
         xcal = jnp.take(frame_bufs[-1],
                         jnp.arange(16)[None].repeat(2, 0),
                         axis=0).astype(jnp.bfloat16)
-        qps = apply_act_amax(qp, calibrate_act_amax(calib, qp, [xcal],
-                                                    deterministic=True))
-        qmodel = VisionTransformer(dc.replace(model.cfg, quant=True,
-                                              quant_mode="static"))
+        qmodel, qps = quantize_and_calibrate(model, params, [xcal],
+                                             deterministic=True)
 
         @jax.jit
         def qscore(p, frames_u8, window_idx):

@@ -163,13 +163,8 @@ def main(argv=None):
         sparse_sampling=args.sparse_sampling)
     # batch_size is per-device; train batches are global and sharded over
     # a 1-D data mesh like cli.finetune
-    n_dev = jax.device_count()
-    batch_sh = None
-    if n_dev > 1:
-        from simple_tad_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                                  replicated)
-        mesh = make_mesh()
-        batch_sh = batch_sharding(mesh)
+    from simple_tad_tpu.parallel.mesh import data_parallel_setup
+    n_dev, put, replicate = data_parallel_setup()
     global_batch = args.batch_size * n_dev
     steps = max(len(train_ds) // global_batch, 1)
     lr = args.lr * global_batch / 256.0
@@ -180,14 +175,8 @@ def main(argv=None):
                             layer_decay=args.layer_decay,
                             depth=model.cfg.depth, clip_grad=args.clip_grad)
     step_fn = make_finetune_train_step(model, tx, criterion)
-    state = TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1))
-    if batch_sh is not None:
-        state = jax.device_put(state, replicated(mesh))
-
-    def put(x):
-        if batch_sh is not None:
-            return jax.device_put(np.asarray(x), batch_sh)
-        return jnp.asarray(x)
+    state = replicate(
+        TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1)))
     rng = np.random.default_rng(args.seed)
     aug_key = jax.random.PRNGKey(args.seed + 2)
 

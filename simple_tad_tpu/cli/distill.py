@@ -132,14 +132,9 @@ def main(argv=None):
                       crop_size=args.input_size)
     # batch_size is per-device; loader batches are global and sharded
     # over a 1-D data mesh like cli.finetune
-    n_dev = jax.device_count()
-    batch_sh = None
-    if n_dev > 1:
-        from simple_tad_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                                  replicated)
-        mesh = make_mesh()
-        batch_sh = batch_sharding(mesh)
-        t_params = jax.device_put(t_params, replicated(mesh))
+    from simple_tad_tpu.parallel.mesh import data_parallel_setup
+    n_dev, put, replicate = data_parallel_setup()
+    t_params = replicate(t_params)
     loader = TrainLoader(ds, args.batch_size * n_dev, seed=args.seed,
                          num_threads=args.num_workers)
     steps = loader.steps_per_epoch()
@@ -150,16 +145,8 @@ def main(argv=None):
                             weight_decay=args.weight_decay)
     step_fn = make_distill_step(student, teacher, tx, alpha=args.alpha,
                                 temperature=args.temperature)
-    state = TrainState.create(s_params, tx,
-                              jax.random.PRNGKey(args.seed + 2))
-    if batch_sh is not None:
-        from simple_tad_tpu.parallel.mesh import replicated
-        state = jax.device_put(state, replicated(mesh))
-
-    def put(x):
-        if batch_sh is not None:
-            return jax.device_put(np.asarray(x), batch_sh)
-        return jnp.asarray(x)
+    state = replicate(TrainState.create(s_params, tx,
+                                        jax.random.PRNGKey(args.seed + 2)))
     aug_key = jax.random.PRNGKey(args.seed + 3)
 
     for epoch in range(args.epochs):

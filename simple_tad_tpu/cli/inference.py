@@ -80,21 +80,11 @@ def main(argv=None):
     T, S = args.num_frames, args.input_size
 
     if args.quant8:
-        import dataclasses as _dc
-        from simple_tad_tpu.models.vit import VisionTransformer
-        from simple_tad_tpu.ops.quant import (apply_act_amax,
-                                              calibrate_act_amax,
-                                              quantize_vit_params)
-        params = quantize_vit_params(params)
-        calib = VisionTransformer(_dc.replace(model.cfg, quant=True,
-                                              quant_mode="calib"))
+        from simple_tad_tpu.ops.quant import quantize_and_calibrate
         first = np.stack([prepare_image(f, S) for f in files[:T]])
-        amax = calibrate_act_amax(
-            calib, params, [jnp.asarray(first[None]).astype(dtype)],
+        model, params = quantize_and_calibrate(
+            model, params, [jnp.asarray(first[None]).astype(dtype)],
             deterministic=True)
-        params = apply_act_amax(params, amax)
-        model = VisionTransformer(_dc.replace(model.cfg, quant=True,
-                                              quant_mode="static"))
 
     @jax.jit
     def streaming_step(params, window_u8, new_frame_u8):

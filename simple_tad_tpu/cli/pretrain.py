@@ -80,13 +80,8 @@ def main(argv=None):
 
     # cfg.batch_size is per-device (the reference's per-GPU batch);
     # loader batches are global and sharded over a 1-D data mesh
-    n_dev = jax.device_count()
-    mesh = None
-    batch_sh = None
-    if n_dev > 1:
-        from simple_tad_tpu.parallel.mesh import batch_sharding, make_mesh
-        mesh = make_mesh()
-        batch_sh = batch_sharding(mesh)
+    from simple_tad_tpu.parallel.mesh import data_parallel_setup
+    n_dev, put, replicate = data_parallel_setup()
 
     ds1 = _build_source(cfg.data_set, cfg.data_path, cfg, cfg.view_list)
     loader1 = PretrainLoader(ds1, cfg.batch_size * n_dev,
@@ -150,15 +145,8 @@ def main(argv=None):
         tx = optax.MultiSteps(tx, cfg.update_freq)
     step = make_mae_train_step(model, tx, num_masked=num_masked,
                                normalize_target=cfg.normlize_target)
-    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 2))
-    if mesh is not None:
-        from simple_tad_tpu.parallel.mesh import replicated
-        state = jax.device_put(state, replicated(mesh))
-
-    def put(x):
-        if batch_sh is not None:
-            return jax.device_put(np.asarray(x), batch_sh)
-        return jnp.asarray(x)
+    state = replicate(
+        TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 2)))
 
     start_epoch = cfg.start_epoch
     if cfg.output_dir:

@@ -77,20 +77,13 @@ class FrameEvaluator:
                     f"got {quant8_mode!r}")
             # int8 GEMM inference: swap in the quant model + params.
             # 'static' needs calibration — call .calibrate(dataset) (or
-            # evaluate() does it automatically on the first clip) to fill
-            # the per-layer activation scales
+            # the first score/evaluate call does it automatically on the
+            # first clips) to fill the per-layer activation scales
             import dataclasses as _dc
-            from simple_tad_tpu.models.internvideo2 import InternVideo2
-            from simple_tad_tpu.models.vit import VisionTransformer
-            from simple_tad_tpu.ops.quant import (quantize_iv2_params,
-                                                  quantize_vit_params)
-            cfg = _dc.replace(model.cfg, quant=True, quant_mode=quant8_mode)
-            if isinstance(model, InternVideo2):
-                model = InternVideo2(cfg)
-                params = quantize_iv2_params(params)
-            else:
-                model = VisionTransformer(cfg)
-                params = quantize_vit_params(params)
+            from simple_tad_tpu.ops.quant import quantize_params_for
+            family, params = quantize_params_for(model, params)
+            model = family(_dc.replace(model.cfg, quant=True,
+                                       quant_mode=quant8_mode))
         self.quant8 = quant8
         self.quant8_mode = quant8_mode if quant8 else ""
         self._calibrated = quant8_mode != "static"
@@ -140,10 +133,13 @@ class FrameEvaluator:
                                   frames.dtype)])
         return jnp.asarray(frames), f
 
-    def calibrate(self, dataset: FrameDataset, n_views: int = 2) -> None:
+    def calibrate(self, dataset: FrameDataset, n_views: int = 2,
+                  views=None) -> None:
         """PTQ activation calibration for quant8_mode='static': run a few
         clips through a calib-mode twin of the model (same pixel path) and
-        write the observed per-layer absmax into the params."""
+        write the observed per-layer absmax into the params.  Pass
+        ``views`` when the caller already enumerated them (evaluate does)
+        to avoid re-walking the dataset."""
         if self._calibrated or not self.quant8:
             self._calibrated = True
             return
@@ -152,7 +148,9 @@ class FrameEvaluator:
                                               calibrate_act_amax)
         calib_model = type(self.model)(
             _dc.replace(self.model.cfg, quant_mode="calib"))
-        views = dataset.clip_eval_views()[:n_views]
+        if views is None:
+            views = dataset.clip_eval_views()
+        views = views[:n_views]
         batches = []
         for view in views:
             frames = dataset.decode_clip_frames(
@@ -213,6 +211,8 @@ class FrameEvaluator:
                  ) -> EvalResult:
         import pandas as pd
         views = dataset.clip_eval_views()
+        if not self._calibrated:
+            self.calibrate(dataset, views=views)
         rows: Dict[str, list] = {k: [] for k in
                                  ("clip", "filename", "logits_safe",
                                   "logits_risk", "label", "ttc")}

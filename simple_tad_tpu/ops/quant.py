@@ -88,12 +88,19 @@ def calibrate_act_amax(model, params, batches, **apply_kwargs):
     """Run forwards through a model built with quant_mode='calib' and
     return the per-site activation absmax tree (the 'calib' collection,
     reduced with max over batches).  PTQ calibration — the standard
-    static-quantization recipe (a few hundred representative windows)."""
+    static-quantization recipe (a few hundred representative windows).
+
+    The forward is jit'd: an eager apply would dispatch the network
+    op-by-op, which is pathological through a serving relay."""
+    @jax.jit
+    def run(p, x):
+        _, variables = model.apply({"params": p}, x, mutable=["calib"],
+                                   **apply_kwargs)
+        return variables["calib"]
+
     amax = None
     for x in batches:
-        _, variables = model.apply({"params": params}, x,
-                                   mutable=["calib"], **apply_kwargs)
-        cur = variables["calib"]
+        cur = run(params, x)
         amax = cur if amax is None else jax.tree.map(jnp.maximum, amax, cur)
     return jax.tree.map(lambda t: np.asarray(t), amax)
 
@@ -101,25 +108,54 @@ def calibrate_act_amax(model, params, batches, **apply_kwargs):
 def apply_act_amax(params: Dict[str, Any], amax_tree) -> Dict[str, Any]:
     """Write calibrated absmax values into a quantized param tree as the
     ``*_amax`` params the quant_mode='static' modules read.  The calib
-    collection mirrors the module tree; sow stores 1-tuples."""
-    import copy
-    out = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    collection mirrors the module tree; sow stores 1-tuples.
 
+    Only the dicts on the touched paths are copied — leaves are
+    immutable jax/np arrays, so no deep copy is needed (a deepcopy of a
+    ViT-L/IV2 tree moves hundreds of MB through the host for nothing)."""
     # sow name is 'amax' under each QuantDense / Attention scope; the
     # static param is 'act_amax' in the same scope
-    def walk2(dst, src):
+    def walk(dst, src):
+        out = dict(dst)
         for key, val in src.items():
             if isinstance(val, dict):
-                if key not in dst:
-                    dst[key] = {}
-                walk2(dst[key], val)
+                out[key] = walk(out.get(key, {}), val)
             else:
                 v = val[0] if isinstance(val, (tuple, list)) else val
                 name = "act_amax" if key == "amax" else key
-                dst[name] = jnp.asarray(np.asarray(v), jnp.float32)
+                out[name] = jnp.asarray(np.asarray(v), jnp.float32)
+        return out
 
-    walk2(out, amax_tree)
-    return jax.device_put(out)
+    return jax.device_put(walk(params, amax_tree))
+
+
+def quantize_params_for(model, params):
+    """Dispatch weight quantization on the model family; returns
+    (model_family_class, quantized_params)."""
+    from simple_tad_tpu.models.internvideo2 import InternVideo2
+    from simple_tad_tpu.models.vit import VisionTransformer
+    if isinstance(model, InternVideo2):
+        return InternVideo2, quantize_iv2_params(params)
+    if isinstance(model, VisionTransformer):
+        return VisionTransformer, quantize_vit_params(params)
+    raise TypeError(f"no int8 path for model type {type(model).__name__}")
+
+
+def quantize_and_calibrate(model, params, batches, **apply_kwargs):
+    """One-call PTQ pipeline: quantize weights for ``model`` (dispatching
+    on its family), calibrate static activation scales on ``batches``
+    (inputs in the model's runtime pixel format), and return
+    ``(static_model, static_params)`` ready to serve.
+
+    This is the 'production recipe' from docs/QUANT.md; the evaluator,
+    the inference CLI, and bench.py all route through it."""
+    import dataclasses as dc
+    family, qp = quantize_params_for(model, params)
+    calib = family(dc.replace(model.cfg, quant=True, quant_mode="calib"))
+    amax = calibrate_act_amax(calib, qp, batches, **apply_kwargs)
+    qps = apply_act_amax(qp, amax)
+    static = family(dc.replace(model.cfg, quant=True, quant_mode="static"))
+    return static, qps
 
 
 def _stack_quant(kernels: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

