@@ -106,3 +106,37 @@ def test_iv2_quant_static_matches_fp():
     assert scale > 1e-3   # outputs are non-degenerate
     assert float(jnp.abs(y_dyn - ref).max()) < 0.05 * scale
     assert float(jnp.abs(y_st - ref).max()) < 0.05 * scale
+
+
+def test_inference_cli_quant8_internvideo2(tmp_path):
+    """--quant8 on the inference CLI must dispatch by model family
+    (regression: it previously hard-assumed a VisionTransformer and
+    crashed with a KeyError on InternVideo2 param trees)."""
+    import cv2
+    import simple_tad_tpu as st
+    from simple_tad_tpu.cli.inference import main
+    from simple_tad_tpu.utils.checkpoint import save_weights
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        cv2.imwrite(str(frames / f"{i:04d}.jpg"),
+                    rng.integers(0, 255, (32, 32, 3), np.uint8))
+    model = st.create_model("internvideo2_small_patch14_224",
+                            num_classes=2, all_frames=8, img_size=28,
+                            dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 28, 28, 3)))["params"]
+    save_weights(str(tmp_path / "w"), params, "w")
+    out = str(tmp_path / "out.csv")
+    main(["--ckpt", str(tmp_path / "w" / "w"),
+          "--frames_folder", str(frames),
+          "--model", "internvideo2_small_patch14_224",
+          "--num_frames", "8", "--input_size", "28",
+          "--dtype", "float32", "--batched", "--quant8",
+          "--output_csv", out])
+    import pandas as pd
+    df = pd.read_csv(out)
+    assert len(df) == 12 - 8 + 1
+    assert np.isfinite(df["risk"].to_numpy()).all()
