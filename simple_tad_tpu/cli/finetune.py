@@ -164,8 +164,14 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         train_stats = trainer.train_one_epoch(loader, epoch)
-        # validation with current params (rebuilt evaluator -> folded copy)
-        evaluator = FrameEvaluator(model, trainer.state.params,
+        # validation with current params (rebuilt evaluator -> folded copy);
+        # with --model_ema the EMA weights are what gets validated and
+        # best-tracked (run_frame_finetuning.py:487-494 carries a ModelEma —
+        # here it is actually consumed, not just checkpointed)
+        eval_params = (trainer.state.ema_params
+                       if cfg.model_ema and trainer.state.ema_params
+                       is not None else trainer.state.params)
+        evaluator = FrameEvaluator(model, eval_params,
                                    batch_size=cfg.batch_size * 2,
                                    dtype=dtype)
         val_stats = validate(evaluator, val_ds)
@@ -179,7 +185,7 @@ def main(argv=None):
         if cfg.output_dir and cfg.save_ckpt:
             ckpt_utils.save_train_state(cfg.output_dir, trainer.state, epoch)
             if tracker:
-                tracker.update(trainer.state.params, val_stats)
+                tracker.update(eval_params, val_stats)
             if (epoch + 1) % cfg.save_ckpt_freq == 0:
                 ckpt_utils.save_weights(cfg.output_dir, trainer.state.params,
                                         f"checkpoint-{epoch}")

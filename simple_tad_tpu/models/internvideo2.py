@@ -350,8 +350,8 @@ class InternVideo2(nn.Module):
                 tokens = IV2Block(
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                     cfg.qkv_bias, cfg.init_values, cfg.qk_normalization,
-                    cfg.attn_impl, cfg.dtype, name=f"blocks_{i}")(
-                        tokens, dpr[i], deterministic)
+                    cfg.attn_impl, cfg.quant, cfg.quant_mode, cfg.dtype,
+                    name=f"blocks_{i}")(tokens, dpr[i], deterministic)
 
         feats = AttentionPooling(cfg.embed_dim, cfg.attn_pool_num_heads,
                                  cfg.clip_embed_dim, qkv_bias=True,

@@ -34,9 +34,12 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx, rng, ema_decay: Optional[float] = None):
+        # ema_params must be distinct buffers: the donated train step would
+        # otherwise donate the same buffer twice (params and its alias)
         return cls(step=jnp.zeros([], jnp.int32), params=params,
                    opt_state=tx.init(params), rng=rng,
-                   ema_params=params if ema_decay else None)
+                   ema_params=(jax.tree.map(jnp.copy, params)
+                               if ema_decay else None))
 
 
 def make_finetune_train_step(model, tx, criterion: Callable, *,

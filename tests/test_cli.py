@@ -104,3 +104,40 @@ def test_inference_cli_stream_and_batch(full_root, tmp_path):
                                str(tmp_path / "risk.csv")])
     assert len(res_batch) == 24 - 16 + 1
     assert os.path.exists(tmp_path / "risk.csv")
+
+
+def test_finetune_cli_ema_eval_path(full_root, tmp_path, monkeypatch):
+    """--model_ema routes EMA params (not raw params) into validation and
+    best tracking (run_frame_finetuning.py:487-494's ModelEma, consumed)."""
+    import simple_tad_tpu.eval.engine as ev
+    from simple_tad_tpu.cli.finetune import main
+
+    seen = []
+    real = ev.FrameEvaluator
+
+    class Spy(real):
+        def __init__(self, model, params, **kw):
+            seen.append(params)
+            super().__init__(model, params, **kw)
+
+    monkeypatch.setattr(ev, "FrameEvaluator", Spy)
+    out = str(tmp_path / "ema_run")
+    state = main([
+        "--data_set", "DoTA", "--data_path", full_root,
+        "--model", "vit_small_patch16_224", "--input_size", "32",
+        "--num_frames", "16", "--batch_size", "1", "--epochs", "1",
+        "--warmup_epochs", "0", "--output_dir", out,
+        "--dtype", "float32", "--attn_impl", "naive",
+        "--num_workers", "2", "--drop_path", "0.0",
+        "--model_ema", "--model_ema_decay", "0.5",
+    ])
+    assert state.ema_params is not None
+    assert len(seen) == 1
+    got = jax.tree.leaves(seen[0])
+    want_ema = jax.tree.leaves(state.ema_params)
+    raw = jax.tree.leaves(state.params)
+    assert all(np.array_equal(np.asarray(g), np.asarray(w))
+               for g, w in zip(got, want_ema))
+    # EMA params actually differ from raw params after training
+    assert any(not np.array_equal(np.asarray(g), np.asarray(r))
+               for g, r in zip(got, raw))

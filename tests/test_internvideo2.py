@@ -213,3 +213,24 @@ def test_sep_pos_embed_init_matches_upstream():
     want_t = ns["get_1d_sincos_pos_embed"](cfg.embed_dim, nt)
     np.testing.assert_allclose(np.asarray(params["pos_embed_temporal"][0]),
                                want_t, atol=1e-6)
+
+
+def test_iv2_scan_equals_unrolled():
+    """scan_blocks=False debug path matches the scanned path (guards the
+    IV2Block positional-arg wiring in internvideo2.py's unrolled loop)."""
+    kw = dict(img_size=28, patch_size=14, num_frames=2, embed_dim=64,
+              depth=3, num_heads=2, mlp_ratio=4.0, attn_pool_num_heads=2,
+              clip_embed_dim=32, num_classes=2, attn_impl="naive",
+              drop_path_rate=0.0)
+    m_scan = InternVideo2(IV2Config(scan_blocks=True, **kw))
+    m_loop = InternVideo2(IV2Config(scan_blocks=False, **kw))
+    params = m_scan.init_params(jax.random.PRNGKey(0))
+    loop_params = {k: v for k, v in params.items() if k != "blocks"}
+    for i in range(3):
+        loop_params[f"blocks_{i}"] = jax.tree.map(lambda a: a[i],
+                                                  params["blocks"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 28, 28, 3))
+    out_scan = m_scan.apply({"params": params}, x, deterministic=True)
+    out_loop = m_loop.apply({"params": loop_params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
+                               atol=1e-5, rtol=1e-5)
