@@ -46,6 +46,20 @@ def _build_source(data_set: str, data_path: str, cfg,
         import glob
         paths = sorted(glob.glob(os.path.join(data_path, "videos", "*")))
         source, orig_fps = VideoFileSource(paths), 30
+    elif data_set in ("K700", "Kinetics-700", "Kinetics-400",
+                      "K700_aligned"):
+        # Kinetics MAE source (kinetics.py VideoMAE:463 / _aligned:850,
+        # wired by jobs/dapt/pretrain_k700.sh): one window per video per
+        # epoch, TSN sampling or fps-aligned interpolation
+        from simple_tad_tpu.data.pretrain_datasets import (
+            KineticsPretrainDataset, read_kinetics_clips)
+        paths = read_kinetics_clips(data_path, "annotations/train.csv")
+        source = VideoFileSource(paths, half_first=False)
+        return KineticsPretrainDataset(
+            source, view_len=cfg.num_frames,
+            sampling_rate=cfg.sampling_rate,
+            mode="aligned" if data_set == "K700_aligned" else "tsn",
+            target_fps=cfg.view_fps, seed=cfg.seed)
     else:
         raise ValueError(data_set)
     return PretrainWindowDataset(

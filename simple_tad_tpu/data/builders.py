@@ -84,6 +84,17 @@ def build_pretraining_dataset(is_train: bool, args) -> PretrainWindowDataset:
         import os
         paths = sorted(glob.glob(os.path.join(data_path, "videos", "*")))
         source, orig_fps = VideoFileSource(paths), 30
+    elif data_set in ("K700", "Kinetics-700", "Kinetics-400",
+                      "K700_aligned"):
+        from simple_tad_tpu.data.pretrain_datasets import (
+            KineticsPretrainDataset, read_kinetics_clips)
+        paths = read_kinetics_clips(data_path, "annotations/train.csv")
+        source = VideoFileSource(paths, half_first=False)
+        return KineticsPretrainDataset(
+            source, view_len=args.num_frames,
+            sampling_rate=args.sampling_rate,
+            mode="aligned" if data_set == "K700_aligned" else "tsn",
+            target_fps=args.view_fps, seed=getattr(args, "seed", 0))
     else:
         raise NotImplementedError(data_set)
     return PretrainWindowDataset(

@@ -70,14 +70,36 @@ class ZipClipSource:
                          for f in frames])
 
 
+def _short_side(img: np.ndarray, short_size: int = 320) -> np.ndarray:
+    """Aspect-preserving short-side resize WITHOUT the 0.5x pre-downscale
+    (kinetics.py:764-775 — Kinetics videos are not 2x-oversized like the
+    DoTA/DADA frame dumps, so no half step).  Never upsamples beyond the
+    source (min(h, w, short_size), kinetics.py:706)."""
+    h, w = img.shape[:2]
+    short = min(h, w, short_size)
+    if h < w:
+        nh, nw = short, int(w * short / h)
+    else:
+        nh, nw = int(h * short / w), short
+    if (nh, nw) == (h, w):
+        return img
+    return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+
 class VideoFileSource:
     """Frame source over raw video files (BDD100K .mov, Kinetics .mp4)
-    via cv2.VideoCapture (decord replacement, SURVEY.md §2c)."""
+    via cv2.VideoCapture (decord replacement, SURVEY.md §2c).
+
+    ``half_first`` keeps the DoTA-style 0.5x cubic pre-downscale
+    (dota.py:648-660); Kinetics sources pass False for the plain
+    short-side-320 policy (kinetics.py:764-775)."""
 
     def __init__(self, paths: Sequence[str], short_size: int = 320,
-                 frame_counts: Optional[Sequence[int]] = None):
+                 frame_counts: Optional[Sequence[int]] = None,
+                 half_first: bool = True):
         self.paths = list(paths)
         self.short_size = short_size
+        self.half_first = half_first
         if frame_counts is None:
             frame_counts = []
             for p in self.paths:
@@ -85,6 +107,7 @@ class VideoFileSource:
                 frame_counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
                 cap.release()
         self.frame_counts = list(frame_counts)
+        self._fps_cache: Dict[int, float] = {}
 
     def __len__(self):
         return len(self.paths)
@@ -93,10 +116,16 @@ class VideoFileSource:
         return self.frame_counts[clip_idx]
 
     def fps(self, clip_idx: int) -> float:
-        cap = cv2.VideoCapture(self.paths[clip_idx])
-        f = cap.get(cv2.CAP_PROP_FPS)
-        cap.release()
-        return f
+        if clip_idx not in self._fps_cache:
+            cap = cv2.VideoCapture(self.paths[clip_idx])
+            self._fps_cache[clip_idx] = cap.get(cv2.CAP_PROP_FPS)
+            cap.release()
+        return self._fps_cache[clip_idx]
+
+    def _resize(self, frame: np.ndarray) -> np.ndarray:
+        if self.half_first:
+            return _half_then_short_side(frame, self.short_size)
+        return _short_side(frame, self.short_size)
 
     def read_window(self, clip_idx: int, frame_idx: Sequence[int]
                     ) -> np.ndarray:
@@ -113,7 +142,7 @@ class VideoFileSource:
                 raise IOError(
                     f"failed to read frame {i} of {self.paths[clip_idx]}")
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            out[i] = _half_then_short_side(frame, self.short_size)
+            out[i] = self._resize(frame)
         cap.release()
         return np.stack([out[int(i)] for i in frame_idx])
 
@@ -227,6 +256,8 @@ class PretrainLoader:
         return out
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch_idx)   # re-randomize K700 windows
         rng = np.random.default_rng(self.seed + epoch_idx)
         order = rng.permutation(len(self.dataset))
         if self.cap:
@@ -297,6 +328,126 @@ class CyclicZip:
                 short_iter = self.make_short(cycle * 1000 + epoch_idx)
                 batch_short = next(short_iter)
             yield batch_long, batch_short
+
+
+def read_kinetics_clips(root: str, setting: str = "annotations/train.csv",
+                        ignore_file: Optional[str] = None,
+                        require_exists: bool = True) -> List[str]:
+    """Kinetics-700 clip paths from the official CSV layout
+    (kinetics.py _make_dataset_snellius:666-682): columns label /
+    youtube_id / time_start / time_end; file at
+    {root}/{subset}/{label}/{ytid}_{t1:06d}_{t2:06d}.mp4 where subset is
+    the CSV basename.  ``ignore_file`` lists corrupt youtube ids one per
+    line (the reference hardcodes kinetics_700_ignore_list)."""
+    import csv
+
+    subset = os.path.splitext(os.path.basename(setting))[0]
+    csv_path = os.path.join(root, setting)
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(csv_path)
+    ignore = set()
+    if ignore_file and os.path.exists(ignore_file):
+        with open(ignore_file) as f:
+            ignore = {line.strip() for line in f if line.strip()}
+    paths = []
+    with open(csv_path, newline="") as f:
+        for row in csv.DictReader(f):
+            ytid = row["youtube_id"]
+            if ytid in ignore:
+                continue
+            t1 = str(int(float(row["time_start"]))).zfill(6)
+            t2 = str(int(float(row["time_end"]))).zfill(6)
+            p = os.path.join(root, subset, row["label"],
+                             f"{ytid}_{t1}_{t2}.mp4")
+            if require_exists and not os.path.exists(p):
+                raise FileNotFoundError(p)
+            paths.append(p)
+    return paths
+
+
+def tsn_train_indices(n_frames: int, new_length: int, new_step: int,
+                      rng: np.random.Generator, num_segments: int = 1,
+                      temporal_jitter: bool = False) -> np.ndarray:
+    """TSN-style training frame indices (kinetics.py
+    _sample_train_indices:684-704 + the frame-id walk of
+    _video_TSN_decord_batch_loader:745-757), restated with an explicit rng.
+
+    Returns 0-based frame ids of length num_segments * new_length."""
+    skip_length = new_length * new_step
+    avg = (n_frames - skip_length + 1) // num_segments
+    if avg > 0:
+        offsets = (np.arange(num_segments) * avg
+                   + rng.integers(0, avg, size=num_segments))
+    elif n_frames > max(num_segments, skip_length):
+        offsets = np.sort(rng.integers(0, n_frames - skip_length + 1,
+                                       size=num_segments))
+    else:
+        offsets = np.zeros(num_segments, np.int64)
+    offsets = offsets + 1          # reference returns 1-based offsets
+    if temporal_jitter:
+        skip_offsets = rng.integers(0, new_step,
+                                    size=skip_length // new_step)
+    else:
+        skip_offsets = np.zeros(skip_length // new_step, np.int64)
+
+    ids = []
+    for seg in offsets:
+        offset = int(seg)
+        for i in range(skip_length // new_step):
+            if offset + skip_offsets[i] <= n_frames:
+                ids.append(offset + int(skip_offsets[i]) - 1)
+            else:
+                ids.append(offset - 1)
+            if offset + new_step < n_frames:
+                offset += new_step
+    return np.asarray(ids, np.int64)
+
+
+class KineticsPretrainDataset:
+    """Kinetics-700 MAE pretraining samples: ONE window per video per
+    epoch (kinetics.py VideoMAE:577-597 / VideoMAE_aligned:976-1009).
+
+    mode 'tsn'     — TSN random-offset window at stride sampling_rate
+                     (the --data_set K700 recipe, jobs/dapt/pretrain_k700.sh)
+    mode 'aligned' — fps-aligned window by linear frame interpolation at
+                     target_fps (--data_set K700_aligned,
+                     kinetics.py:850+ VideoMAE_aligned)
+
+    Sampling is deterministic per (seed, epoch, index) — the loader calls
+    set_epoch() so windows resample every epoch like the reference's
+    per-__getitem__ RNG draws, but reproducibly."""
+
+    def __init__(self, source, *, view_len: int = 16, sampling_rate: int = 4,
+                 mode: str = "tsn", target_fps: float = 10.0, seed: int = 0,
+                 temporal_jitter: bool = False):
+        if mode not in ("tsn", "aligned"):
+            raise ValueError(mode)
+        self.source = source
+        self.view_len = view_len
+        self.sampling_rate = sampling_rate
+        self.mode = mode
+        self.target_fps = target_fps
+        self.seed = seed
+        self.temporal_jitter = temporal_jitter
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self):
+        return len(self.source)
+
+    def get_window(self, index: int) -> np.ndarray:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self._epoch) * 1_000_003 + index)
+        if self.mode == "aligned":
+            return sample_interpolated_window(
+                self.source, index, self.view_len, self.target_fps,
+                self.source.fps(index), rng)
+        idx = tsn_train_indices(self.source.num_frames(index),
+                                self.view_len, self.sampling_rate, rng,
+                                temporal_jitter=self.temporal_jitter)
+        return self.source.read_window(index, idx)
 
 
 def sample_frame_window_indices(n_frames: int, src_fps: float,

@@ -115,3 +115,33 @@ def make_synthetic_dada(root: str, *, n_clips: int = 2,
         with open(os.path.join(root, "DADA2K_my_split", split), "w") as f:
             f.write("\n".join(names) + "\n")
     return root
+
+
+def make_synthetic_k700(root: str, *, n_videos: int = 3,
+                        frames_per_video: int = 90, fps: float = 30.0,
+                        h: int = 48, w: int = 64) -> str:
+    """Kinetics-700 layout: annotations/train.csv + train/{label}/
+    {ytid}_{t1:06d}_{t2:06d}.mp4 (kinetics.py _make_dataset_snellius)."""
+    import cv2
+    ann = os.path.join(root, "annotations")
+    os.makedirs(ann, exist_ok=True)
+    rows = []
+    for i in range(n_videos):
+        label = f"class_{i % 2}"
+        ytid = f"vid{i:04d}xxxxx"
+        t1, t2 = 10 * i, 10 * i + 10
+        d = os.path.join(root, "train", label)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{ytid}_{t1:06d}_{t2:06d}.mp4")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        assert wr.isOpened()
+        for t in range(frames_per_video):
+            wr.write(_frame_image(h, w, t, risky=False, seed=i))
+        wr.release()
+        rows.append((label, ytid, t1, t2))
+    with open(os.path.join(ann, "train.csv"), "w") as f:
+        f.write("label,youtube_id,time_start,time_end,split\n")
+        for label, ytid, t1, t2 in rows:
+            f.write(f"{label},{ytid},{t1},{t2},train\n")
+    return root

@@ -130,3 +130,105 @@ def test_cyclic_zip():
     assert [p[0] for p in pairs] == [0, 1, 2, 3, 4]
     shorts = [p[1] for p in pairs]
     assert len(set(shorts)) == 5               # short side cycled w/ reshuffle
+
+
+# ---------------------------------------------------------------- K700
+
+
+@pytest.fixture(scope="module")
+def k700_root(tmp_path_factory):
+    from tests.fixtures import make_synthetic_k700
+    root = str(tmp_path_factory.mktemp("k700"))
+    return make_synthetic_k700(root, n_videos=3, frames_per_video=90,
+                               fps=30.0, h=48, w=64)
+
+
+def test_read_kinetics_clips(k700_root, tmp_path):
+    from simple_tad_tpu.data.pretrain_datasets import read_kinetics_clips
+    paths = read_kinetics_clips(k700_root)
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
+    assert paths[0].endswith("vid0000xxxxx_000000_000010.mp4")
+    # ignore list drops by youtube id
+    ign = str(tmp_path / "ignore.txt")
+    with open(ign, "w") as f:
+        f.write("vid0001xxxxx\n")
+    assert len(read_kinetics_clips(k700_root, ignore_file=ign)) == 2
+
+
+def test_tsn_train_indices_math():
+    """Restates kinetics.py:684-704 + 745-757: windows are in bounds,
+    stride new_step, random offset covers [1, avg]."""
+    from simple_tad_tpu.data.pretrain_datasets import tsn_train_indices
+    rng = np.random.default_rng(0)
+    # plenty of frames: offset uniform in [1, avg], contiguous stride walk
+    for _ in range(50):
+        ids = tsn_train_indices(90, 16, 4, rng)
+        assert ids.shape == (16,)
+        assert (np.diff(ids) == 4).all()
+        assert 0 <= ids[0] <= 90 - 16 * 4
+        assert ids[-1] < 90
+    # short video: skip_length > n -> offsets stay 0-based at frame 0 and
+    # the walk clamps (offset only advances while offset+new_step < n)
+    ids = tsn_train_indices(10, 16, 4, rng)
+    assert ids.min() >= 0 and ids.max() < 10
+    assert ids.shape == (16,)
+    # exactly-fits case
+    ids = tsn_train_indices(64, 16, 4, rng)
+    assert ids[0] == 0 and (np.diff(ids) == 4).all()
+
+
+def test_kinetics_dataset_tsn_and_aligned(k700_root):
+    from simple_tad_tpu.data.pretrain_datasets import (
+        KineticsPretrainDataset, VideoFileSource, read_kinetics_clips)
+    paths = read_kinetics_clips(k700_root)
+    src = VideoFileSource(paths, short_size=40, half_first=False)
+    assert src.num_frames(0) == 90
+    assert abs(src.fps(0) - 30.0) < 1e-3
+
+    ds = KineticsPretrainDataset(src, view_len=16, sampling_rate=4,
+                                 mode="tsn", seed=1)
+    assert len(ds) == 3
+    w0 = ds.get_window(0)
+    assert w0.shape[0] == 16 and w0.dtype == np.uint8
+    assert min(w0.shape[1], w0.shape[2]) == 40
+    # deterministic within an epoch, resampled across epochs
+    assert np.array_equal(w0, ds.get_window(0))
+    ds.set_epoch(1)
+    w1 = ds.get_window(0)
+    assert not np.array_equal(w0, w1)
+
+    ds_al = KineticsPretrainDataset(src, view_len=16, sampling_rate=4,
+                                    mode="aligned", target_fps=10, seed=1)
+    a0 = ds_al.get_window(0)
+    assert a0.shape[0] == 16 and a0.dtype == np.uint8
+
+
+def test_short_side_resize_no_upsample():
+    from simple_tad_tpu.data.pretrain_datasets import _short_side
+    img = np.zeros((48, 64, 3), np.uint8)
+    out = _short_side(img, 320)   # min(h,w,320)=48 -> unchanged
+    assert out.shape == (48, 64, 3)
+    out = _short_side(img, 24)
+    assert out.shape == (24, 32, 3)
+
+
+def test_pretrain_cli_k700_one_epoch(tmp_path_factory, tmp_path):
+    # 10 videos -> one global batch of 8 on the simulated 8-device mesh
+    from tests.fixtures import make_synthetic_k700
+    from simple_tad_tpu.cli.pretrain import main
+    root = make_synthetic_k700(str(tmp_path_factory.mktemp("k700cli")),
+                               n_videos=10, frames_per_video=80,
+                               fps=30.0, h=40, w=56)
+    out = str(tmp_path / "k700_run")
+    state = main([
+        "--data_set", "K700", "--data_path", root,
+        "--model", "pretrain_videomae_small_patch16_224",
+        "--input_size", "32", "--num_frames", "16", "--sampling_rate", "4",
+        "--mask_ratio", "0.9", "--decoder_depth", "1",
+        "--batch_size", "1", "--epochs", "1", "--warmup_epochs", "0",
+        "--output_dir", out, "--dtype", "float32", "--attn_impl", "naive",
+        "--num_workers", "2",
+    ])
+    assert int(np.asarray(state.step)) == 1
+    assert os.path.exists(os.path.join(out, "checkpoint-last"))
