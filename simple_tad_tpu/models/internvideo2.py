@@ -151,11 +151,24 @@ class IV2Block(nn.Module):
         hid = int(self.dim * self.mlp_ratio)
         h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         if self.quant:
-            h = QuantDense(self.dim, hid, mode=self.quant_mode,
-                           name="fc1")(h)
-            h = gelu_for(self.dtype)(h)
-            h = QuantDense(hid, self.dim, mode=self.quant_mode,
-                           name="fc2")(h).astype(self.dtype)
+            fc1 = QuantDense(self.dim, hid, mode=self.quant_mode,
+                             out_dtype=self.dtype, name="fc1")
+            fc2 = QuantDense(hid, self.dim, mode=self.quant_mode,
+                             out_dtype=self.dtype, name="fc2")
+            from simple_tad_tpu.ops.int8_gemm import (mlp_fits_vmem,
+                                                      use_fused_w8a8,
+                                                      w8a8_mlp)
+            if (self.quant_mode == "static"
+                    and use_fused_w8a8(self.dim, hid)
+                    and mlp_fits_vmem(self.dim, hid)):
+                k1, s1, a1, b1 = fc1(None, params_only=True)
+                k2, s2, a2, b2 = fc2(None, params_only=True)
+                h = w8a8_mlp(h, k1, s1, a1, b1, k2, s2, a2, b2,
+                             out_dtype=self.dtype)
+            else:
+                h = fc1(h)
+                h = gelu_for(self.dtype)(h)
+                h = fc2(h).astype(self.dtype)
         else:
             h = nn.Dense(hid, dtype=self.dtype,
                          kernel_init=trunc_normal_init(0.02), name="fc1")(h)

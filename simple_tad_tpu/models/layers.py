@@ -127,9 +127,10 @@ class QuantDense(nn.Module):
     out_dim: int
     use_bias: bool = True
     mode: str = "dynamic"
+    out_dtype: Dtype = jnp.float32   # fused static path writes this directly
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         from simple_tad_tpu.ops.quant import int8_matmul, int8_matmul_static
         if self.mode not in ("dynamic", "static", "calib"):
             raise ValueError(f"unknown quant mode {self.mode!r}")
@@ -137,8 +138,20 @@ class QuantDense(nn.Module):
                         (self.in_dim, self.out_dim), jnp.int8)
         ks = self.param("kernel_scale", nn.initializers.ones,
                         (self.out_dim,))
+        amax = (self.param("act_amax", nn.initializers.ones, ())
+                if self.mode == "static" else None)
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_dim,))
+                if self.use_bias else None)
+        if params_only:
+            # the parent fuses this GEMM into a larger kernel (e.g. the
+            # whole-MLP w8a8 kernel); params keep their scope/layout.
+            return kq, ks, amax, bias
         if self.mode == "static":
-            amax = self.param("act_amax", nn.initializers.ones, ())
+            from simple_tad_tpu.ops.int8_gemm import (use_fused_w8a8,
+                                                      w8a8_gemm)
+            if use_fused_w8a8(self.in_dim, self.out_dim):
+                return w8a8_gemm(x, kq, ks, amax, bias=bias,
+                                 out_dtype=self.out_dtype)
             y = int8_matmul_static(x, kq, ks, amax)
         else:
             if self.mode == "calib":
@@ -147,9 +160,8 @@ class QuantDense(nn.Module):
                          reduce_fn=jnp.maximum,
                          init_fn=lambda: jnp.zeros(()))
             y = int8_matmul(x, kq, ks)
-        if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros,
-                               (self.out_dim,))
+        if bias is not None:
+            y = y + bias
         return y
 
 
@@ -169,12 +181,25 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.quant:
-            x = QuantDense(self.dim, self.hidden_dim, mode=self.quant_mode,
-                           name="fc1")(x)
+            fc1 = QuantDense(self.dim, self.hidden_dim, mode=self.quant_mode,
+                             out_dtype=self.dtype, name="fc1")
+            fc2 = QuantDense(self.hidden_dim, self.dim, mode=self.quant_mode,
+                             out_dtype=self.dtype, name="fc2")
+            from simple_tad_tpu.ops.int8_gemm import (mlp_fits_vmem,
+                                                      use_fused_w8a8,
+                                                      w8a8_mlp)
+            if (self.quant_mode == "static"
+                    and use_fused_w8a8(self.dim, self.hidden_dim)
+                    and mlp_fits_vmem(self.dim, self.hidden_dim)):
+                # whole-MLP kernel: the (tokens, hidden) tensor never
+                # leaves VMEM (see ops/int8_gemm.py)
+                k1, s1, a1, b1 = fc1(None, params_only=True)
+                k2, s2, a2, b2 = fc2(None, params_only=True)
+                return w8a8_mlp(x, k1, s1, a1, b1, k2, s2, a2, b2,
+                                out_dtype=self.dtype)
+            x = fc1(x)
             x = gelu_for(self.dtype)(x)
-            return QuantDense(self.hidden_dim, self.dim,
-                              mode=self.quant_mode,
-                              name="fc2")(x).astype(self.dtype)
+            return fc2(x).astype(self.dtype)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init(0.02),
                      bias_init=nn.initializers.zeros, name="fc1")(x)
@@ -217,7 +242,15 @@ class Attention(nn.Module):
         all_head_dim = head_dim * self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
+        qkv_bias_vec = None
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+            qkv_bias_vec = jnp.concatenate(
+                [q_bias, jnp.zeros_like(q_bias), v_bias])
         if self.quant:
+            from simple_tad_tpu.ops.int8_gemm import (use_fused_w8a8,
+                                                      w8a8_gemm)
             from simple_tad_tpu.ops.quant import (int8_matmul,
                                                   int8_matmul_static)
             qkv_q = self.param("qkv_q", nn.initializers.zeros,
@@ -226,8 +259,13 @@ class Attention(nn.Module):
                                (3 * all_head_dim,))
             if self.quant_mode == "static":
                 amax = self.param("act_amax", nn.initializers.ones, ())
-                qkv = int8_matmul_static(x, qkv_q, qkv_s,
-                                         amax).astype(self.dtype)
+                if use_fused_w8a8(C, 3 * all_head_dim):
+                    qkv = w8a8_gemm(x, qkv_q, qkv_s, amax,
+                                    bias=qkv_bias_vec, out_dtype=self.dtype)
+                    qkv_bias_vec = None   # folded into the kernel epilogue
+                else:
+                    qkv = int8_matmul_static(x, qkv_q, qkv_s,
+                                             amax).astype(self.dtype)
             else:
                 if self.quant_mode == "calib":
                     self.sow("calib", "amax",
@@ -240,12 +278,8 @@ class Attention(nn.Module):
                                     (C, 3 * all_head_dim))
             qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
                           preferred_element_type=self.dtype)
-        if self.qkv_bias:
-            q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
-            v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
-            bias = jnp.concatenate(
-                [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(self.dtype)
-            qkv = qkv + bias
+        if qkv_bias_vec is not None:
+            qkv = qkv + qkv_bias_vec.astype(self.dtype)
 
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
@@ -261,6 +295,7 @@ class Attention(nn.Module):
 
         if self.quant:
             out = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,
+                             out_dtype=self.dtype,
                              name="proj")(out).astype(self.dtype)
         else:
             out = nn.Dense(self.dim, dtype=self.dtype,

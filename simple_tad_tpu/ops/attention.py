@@ -17,20 +17,31 @@ import jax.numpy as jnp
 
 
 def _naive_attention(q, k, v, scale, dropout_rate=0.0, dropout_rng=None,
-                     deterministic=True):
+                     deterministic=True, dropout_mask=None):
     """Reference-math attention: (q*scale) @ k^T -> softmax fp32 -> @ v."""
     dtype = q.dtype
     q = q * jnp.asarray(scale, q.dtype)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    if dropout_rate > 0.0 and not deterministic:
+    if dropout_mask is not None:
+        probs = probs * (dropout_mask.astype(jnp.float32)
+                         / (1.0 - dropout_rate))
+    elif dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
     probs = probs.astype(dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                       preferred_element_type=dtype)
+
+
+def make_dropout_mask(rng, rate, B, H, N):
+    """int8 (B, H, N, N) keep-mask for attention dropout — generated once
+    in XLA and streamed through the Pallas kernels (1 byte per score
+    element instead of the naive path's materialized fp32 probs)."""
+    return jax.random.bernoulli(rng, 1.0 - rate,
+                                (B, H, N, N)).astype(jnp.int8)
 
 
 def _xla_attention(q, k, v, scale):
@@ -50,28 +61,43 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
       xla    — jax.nn.dot_product_attention (XLA fused).
       naive  — explicit matmul+softmax (parity/debug; supports attn dropout).
     """
+    from simple_tad_tpu.ops.flash_attention import MAX_SINGLE_PASS_N
+    dropping = dropout_rate > 0.0 and not deterministic
     if impl == "auto":
-        if dropout_rate > 0.0 and not deterministic:
-            impl = "naive"  # only the naive path implements attention dropout
-        elif jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0:
+        if jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0:
             # odd head dims (IV2-1B: 88) stay on XLA: the zero-padded
             # kernel measured SLOWER (41.9 vs 35.7 ms at B8 N2049 H16
             # D88->128 on v5e) — 45% padded-lane waste exceeds the
-            # single-pass win
+            # single-pass win.  Dropout rides the Pallas kernel via an
+            # int8 keep-mask (round 1 fell back to naive here).
             impl = "pallas"
+        elif dropping:
+            impl = "naive"  # XLA fused attention has no dropout
         else:
             impl = "xla"
 
+    mask = None
+    if dropping and impl == "pallas" and q.shape[1] > MAX_SINGLE_PASS_N:
+        impl = "naive"   # pallas falls back to XLA above this N: no dropout
+    if dropping and impl in ("pallas", "naive"):
+        B, N, H, _ = q.shape
+        mask = make_dropout_mask(dropout_rng, dropout_rate, B, H, N)
+
     if impl == "naive":
         return _naive_attention(q, k, v, scale, dropout_rate, dropout_rng,
-                                deterministic)
+                                deterministic, dropout_mask=mask)
     if impl == "xla":
+        if dropping:
+            return _naive_attention(q, k, v, scale, dropout_rate,
+                                    dropout_rng, deterministic)
         return _xla_attention(q, k, v, scale)
     if impl == "pallas":
         from simple_tad_tpu.ops.flash_attention import flash_attention
         dh = q.shape[-1]
+        keep = 1.0 - dropout_rate
         if dh % 64 == 0:
-            return flash_attention(q, k, v, scale=scale)
+            return flash_attention(q, k, v, scale=scale,
+                                   dropout_mask=mask, keep_prob=keep)
         # odd head dims (InternVideo2-1B: 88) — zero-pad to the next lane
         # multiple; padded q/k columns contribute 0 to every score and
         # padded v columns produce output columns we slice off, so the
@@ -79,6 +105,7 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         pad = (-dh) % 64
         cfg = [(0, 0)] * (q.ndim - 1) + [(0, pad)]
         out = flash_attention(jnp.pad(q, cfg), jnp.pad(k, cfg),
-                              jnp.pad(v, cfg), scale=scale)
+                              jnp.pad(v, cfg), scale=scale,
+                              dropout_mask=mask, keep_prob=keep)
         return out[..., :dh]
     raise ValueError(f"unknown attention impl: {impl!r}")

@@ -79,3 +79,37 @@ def test_pallas_odd_head_dim_padded():
                                     impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_auto_with_dropout_on_tpu_backend_uses_pallas(monkeypatch):
+    """VERDICT r1 #7: attn_drop>0 must NOT fall off to the naive N^2 path
+    on TPU — the Pallas kernel takes an int8 keep-mask."""
+    import simple_tad_tpu.ops.attention as attn_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    calls = {}
+
+    def fake_backend():
+        return "tpu"
+
+    monkeypatch.setattr(attn_mod.jax, "default_backend", fake_backend)
+
+    import simple_tad_tpu.ops.flash_attention as fa
+
+    real_flash = fa.flash_attention
+
+    def spy_flash(q, k, v, **kw):
+        calls["mask"] = kw.get("dropout_mask")
+        return real_flash(q, k, v, **kw)
+
+    monkeypatch.setattr(fa, "flash_attention", spy_flash)
+    # dispatcher imports flash_attention inside the function body, so the
+    # monkeypatched module attribute is what it picks up
+    q, k, v = _qkv(n=64)
+    with pltpu.force_tpu_interpret_mode():
+        out = dot_product_attention(q, k, v, scale=0.125, impl="auto",
+                                    dropout_rate=0.4,
+                                    dropout_rng=jax.random.PRNGKey(0),
+                                    deterministic=False)
+    assert calls["mask"] is not None, "pallas path must receive the mask"
+    assert np.isfinite(np.asarray(out)).all()

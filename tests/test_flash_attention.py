@@ -45,3 +45,49 @@ def test_flash_backward_matches_naive():
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+def test_flash_dropout_forward_matches_naive_same_mask():
+    """Dropout rides the kernel: same int8 keep-mask => same output as the
+    naive softmax->dropout->PV math (flash_attention_class.py:26-69)."""
+    from simple_tad_tpu.ops.attention import _naive_attention
+    B, n, H, D = 2, 136, 2, 64   # n % 8 != 0 exercises the padded path
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), B, n, H, D)
+    scale = 64 ** -0.5
+    rate = 0.3
+    mask = jax.random.bernoulli(jax.random.PRNGKey(7), 1 - rate,
+                                (B, H, n, n)).astype(jnp.int8)
+    want = _naive_attention(q, k, v, scale, dropout_rate=rate,
+                            deterministic=False, dropout_mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, scale=scale, dropout_mask=mask,
+                              keep_prob=1 - rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flash_dropout_backward_matches_naive_same_mask():
+    from simple_tad_tpu.ops.attention import _naive_attention
+    B, n, H, D = 1, 136, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, n, H, D)
+    scale = 64 ** -0.5
+    rate = 0.25
+    mask = jax.random.bernoulli(jax.random.PRNGKey(9), 1 - rate,
+                                (B, H, n, n)).astype(jnp.int8)
+
+    def loss_naive(q, k, v):
+        out = _naive_attention(q, k, v, scale, dropout_rate=rate,
+                               deterministic=False, dropout_mask=mask)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, scale=scale, dropout_mask=mask,
+                              keep_prob=1 - rate)
+        return jnp.sum(jnp.sin(out))
+
+    want = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)
