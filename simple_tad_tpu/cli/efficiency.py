@@ -36,22 +36,79 @@ def benchmark_model(name: str, *, batches=(1, 8, 32), iters: int = 50,
                                            deterministic=True))
     rows = []
     for b in batches:
-        x = jax.random.normal(jax.random.PRNGKey(1),
-                              (b, num_frames, input_size, input_size, 3),
-                              dtype)
-        fwd(params, x).block_until_ready()
+        # EVERY timed call gets a fresh buffer: the serving relay memoizes
+        # repeated identical (program, inputs) executions (fantasy
+        # latencies otherwise; see CLAUDE.md trap #1).  Pool bounded to
+        # ~4 GB of HBM; iters shrink to the pool rather than recycle.
+        buf_bytes = (b * num_frames * input_size * input_size * 3
+                     * np.dtype(np.float32).itemsize // 2)
+        nbuf = int(max(6, min(3 * iters, 4e9 // max(buf_bytes, 1))))
+        keys = jax.random.split(jax.random.PRNGKey(1), nbuf + 1)
+        bufs = [jax.random.normal(
+            k, (b, num_frames, input_size, input_size, 3), dtype)
+            for k in keys]
+        fwd(params, bufs[-1]).block_until_ready()
+        per_rep = max(nbuf // 3, 1)
         times = []
-        for _ in range(3):
+        for rep in range(3):
+            chunk = bufs[rep * per_rep:(rep + 1) * per_rep] or bufs[:1]
             t0 = time.perf_counter()
-            for _ in range(iters):
+            for x in chunk:
                 fwd(params, x).block_until_ready()
-            times.append((time.perf_counter() - t0) / iters)
+            times.append((time.perf_counter() - t0) / len(chunk))
         ms = min(times) * 1000
         rows.append({"model": name, "batch": b,
                      "latency_ms": round(ms, 2),
                      "clips_per_sec": round(b / (ms / 1000), 1),
                      "params_m": round(n_params / 1e6, 1)})
         print(json.dumps(rows[-1]))
+    return rows
+
+
+def benchmark_train_input(dataset, *, batch_size: int = 24, steps: int = 20,
+                          num_threads: int = 4, resize_scale: float = 1.1,
+                          num_sample: int = 1, step_ms: float = 0.0):
+    """Measure the HOST side of a training step: decoded windows/s through
+    TrainLoader (threaded zip decode + frame LRU) and — given the device
+    step time — the input occupancy.
+
+    VERDICT r1 #6: the 790-decodes/s requirement at batch-24/485 ms was
+    never measured.  occupancy < 1 means the host feeds the device with
+    time to spare (decode overlaps the step); > 1 means input-bound.
+    """
+    import itertools
+
+    from simple_tad_tpu.data.zipreader import frame_cache
+    from simple_tad_tpu.train.engine import TrainLoader
+
+    cache = frame_cache()
+    if cache is not None:
+        cache.clear()
+    loader = TrainLoader(dataset, batch_size, num_threads=num_threads,
+                         resize_scale=resize_scale, num_sample=num_sample)
+    steps = min(steps, loader.steps_per_epoch())
+    # epoch 0 = cold cache; epoch 1 = steady state (the LRU holds frames
+    # shared between overlapping windows)
+    rows = []
+    for epoch in (0, 1):
+        t0 = time.perf_counter()
+        n = 0
+        for batch in itertools.islice(loader.epoch(epoch), steps):
+            n += batch["video_u8"].shape[0]
+        dt = time.perf_counter() - t0
+        wps = n / dt
+        row = {"phase": f"train_input_epoch{epoch}",
+               "windows_per_sec": round(wps, 1),
+               "frames_per_sec": round(wps * dataset.view_len, 1),
+               "cache_hit_rate": round(
+                   cache.hits / max(cache.hits + cache.misses, 1), 3)
+               if cache is not None else None}
+        if step_ms > 0:
+            # host decode time per batch vs device step time
+            row["input_occupancy"] = round(
+                (batch_size / wps) / (step_ms / 1000.0), 3)
+        rows.append(row)
+        print(json.dumps(row))
     return rows
 
 
@@ -66,7 +123,31 @@ def main(argv=None):
     parser.add_argument("--input_size", type=int, default=224)
     parser.add_argument("--attn_impl", default="auto")
     parser.add_argument("--dtype", default="bfloat16")
+    # host input-pipeline probe (no device needed)
+    parser.add_argument("--train_input", action="store_true",
+                        help="measure TrainLoader decode throughput instead")
+    parser.add_argument("--data_path", default=None)
+    parser.add_argument("--data_set", default="DoTA",
+                        choices=["DoTA", "DADA2K"])
+    parser.add_argument("--batch_size", type=int, default=24)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--num_threads", type=int, default=4)
+    parser.add_argument("--step_ms", type=float, default=0.0,
+                        help="known device step time for occupancy")
     args = parser.parse_args(argv)
+
+    if args.train_input:
+        import types
+
+        from simple_tad_tpu.data.builders import build_frame_dataset
+        ds_args = types.SimpleNamespace(
+            data_path=args.data_path, data_set=args.data_set,
+            num_frames=args.num_frames, sampling_rate=1, view_fps=10,
+            input_size=args.input_size, ttc_TT=2.0, ttc_TA=1.0)
+        dataset, _ = build_frame_dataset(True, False, ds_args)
+        return benchmark_train_input(
+            dataset, batch_size=args.batch_size, steps=args.steps,
+            num_threads=args.num_threads, step_ms=args.step_ms)
 
     from simple_tad_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()

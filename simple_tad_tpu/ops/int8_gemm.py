@@ -85,7 +85,7 @@ def _gelu_tanh(x):
 # ------------------------------------------------------------------ GEMM ---
 
 def _gemm_kernel(inv_ref, x_ref, w_ref, scale_ref, bias_ref, o_ref, *, act):
-    xq = _quantize_tile(x_ref[:], inv_ref[0])
+    xq = _quantize_tile(x_ref[:], inv_ref[0, 0])
     y = jax.lax.dot_general(
         xq, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -124,26 +124,29 @@ def w8a8_gemm(x, w_q, w_scale, a_amax, bias=None, act=None, *,
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
 
-    inv = (127.0 / jnp.maximum(a_amax, 1e-12)).reshape(1).astype(jnp.float32)
+    inv = (127.0 / jnp.maximum(a_amax, 1e-12)).reshape(1, 1).astype(
+        jnp.float32)
     comb = (w_scale * (jnp.maximum(a_amax, 1e-12) / 127.0)).astype(
         jnp.float32).reshape(1, N)
     b = (jnp.zeros((1, N), jnp.float32) if bias is None
          else bias.astype(jnp.float32).reshape(1, N))
 
+    # the quantization scale rides SMEM as a plain input — scalar
+    # *prefetch* would stall the launch on a value computed on-device
+    # inside the block scan (measured: -30% whole-model)
     grid = (Mp // bm, N // block_n)
     out = pl.pallas_call(
         functools.partial(_gemm_kernel, act=act),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, K), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((K, block_n), lambda i, j, s: (0, j)),
-                pl.BlockSpec((1, block_n), lambda i, j, s: (0, j)),
-                pl.BlockSpec((1, block_n), lambda i, j, s: (0, j)),
-            ],
-            out_specs=pl.BlockSpec((bm, block_n), lambda i, j, s: (i, j)),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
     )(inv, x2, w_q, comb, b)
     return out[:M].reshape(*lead, N)
@@ -161,8 +164,8 @@ def _gemm_vmem(bm, K, bn):
 
 def _mlp_kernel(scalars_ref, x_ref, w1_ref, s1_ref, b1_ref,
                 w2_ref, s2_ref, b2_ref, o_ref):
-    inv1 = scalars_ref[0]
-    inv2 = scalars_ref[1]
+    inv1 = scalars_ref[0, 0]
+    inv2 = scalars_ref[0, 1]
     xq = _quantize_tile(x_ref[:], inv1)
     h = jax.lax.dot_general(
         xq, w1_ref[:], (((1,), (0,)), ((), ())),
@@ -223,7 +226,8 @@ def w8a8_mlp(x, w1_q, s1, amax1, b1, w2_q, s2, amax2, b2, *,
 
     a1 = jnp.maximum(amax1, 1e-12)
     a2 = jnp.maximum(amax2, 1e-12)
-    scalars = jnp.stack([127.0 / a1, 127.0 / a2]).astype(jnp.float32)
+    scalars = jnp.stack([127.0 / a1, 127.0 / a2]).astype(
+        jnp.float32).reshape(1, 2)
     c1 = (s1 * (a1 / 127.0)).astype(jnp.float32).reshape(1, H)
     c2 = (s2 * (a2 / 127.0)).astype(jnp.float32).reshape(1, D)
     b1 = (jnp.zeros((1, H), jnp.float32) if b1 is None
@@ -233,20 +237,19 @@ def w8a8_mlp(x, w1_q, s1, amax1, b1, w2_q, s2, amax2, b2, *,
 
     out = pl.pallas_call(
         _mlp_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Mp // bm,),
-            in_specs=[
-                pl.BlockSpec((bm, K), lambda i, s: (i, 0)),
-                pl.BlockSpec((K, H), lambda i, s: (0, 0)),
-                pl.BlockSpec((1, H), lambda i, s: (0, 0)),
-                pl.BlockSpec((1, H), lambda i, s: (0, 0)),
-                pl.BlockSpec((H, D), lambda i, s: (0, 0)),
-                pl.BlockSpec((1, D), lambda i, s: (0, 0)),
-                pl.BlockSpec((1, D), lambda i, s: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((bm, D), lambda i, s: (i, 0)),
-        ),
+        grid=(Mp // bm,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0)),
+            pl.BlockSpec((K, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, D), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Mp, D), out_dtype),
     )(scalars, x2, w1_q, c1, b1, w2_q, c2, b2)
     return out[:M].reshape(*lead, D)
