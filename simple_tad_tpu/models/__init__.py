@@ -72,6 +72,17 @@ def _register_vit():
             encoder_depth=depth, encoder_num_heads=heads,
             decoder_embed_dim=ddim, decoder_num_heads=dheads,
             decoder_num_classes=1536, mlp_ratio=4.0, qkv_bias=True))
+        # MVD-style MAE: encoder pos embed is the fixed 3D sincos table
+        # (temporal dim/4 + spatial 3*dim/4), decoder keeps the 1D table
+        # (/root/reference/other_models/MVD/modeling_pretrain.py:63-66,
+        # :279, registry :317-391)
+        _REGISTRY[f"pretrain_videomae_mvd_{size}_patch16_224"] = (
+            "mae", dict(
+                img_size=224, patch_size=16, encoder_embed_dim=dim,
+                encoder_depth=depth, encoder_num_heads=heads,
+                decoder_embed_dim=ddim, decoder_num_heads=dheads,
+                decoder_num_classes=1536, mlp_ratio=4.0, qkv_bias=True,
+                pos_embed_kind="3d"))
 
 
 _register_vit()

@@ -155,12 +155,9 @@ class IV2Block(nn.Module):
                              out_dtype=self.dtype, name="fc1")
             fc2 = QuantDense(hid, self.dim, mode=self.quant_mode,
                              out_dtype=self.dtype, name="fc2")
-            from simple_tad_tpu.ops.int8_gemm import (mlp_fits_vmem,
-                                                      use_fused_w8a8,
-                                                      w8a8_mlp)
+            from simple_tad_tpu.ops.int8_gemm import use_fused_mlp, w8a8_mlp
             if (self.quant_mode == "static"
-                    and use_fused_w8a8(self.dim, hid)
-                    and mlp_fits_vmem(self.dim, hid)):
+                    and use_fused_mlp(self.dim, hid)):
                 k1, s1, a1, b1 = fc1(None, params_only=True)
                 k2, s2, a2, b2 = fc2(None, params_only=True)
                 h = w8a8_mlp(h, k1, s1, a1, b1, k2, s2, a2, b2,

@@ -185,12 +185,9 @@ class Mlp(nn.Module):
                              out_dtype=self.dtype, name="fc1")
             fc2 = QuantDense(self.hidden_dim, self.dim, mode=self.quant_mode,
                              out_dtype=self.dtype, name="fc2")
-            from simple_tad_tpu.ops.int8_gemm import (mlp_fits_vmem,
-                                                      use_fused_w8a8,
-                                                      w8a8_mlp)
+            from simple_tad_tpu.ops.int8_gemm import use_fused_mlp, w8a8_mlp
             if (self.quant_mode == "static"
-                    and use_fused_w8a8(self.dim, self.hidden_dim)
-                    and mlp_fits_vmem(self.dim, self.hidden_dim)):
+                    and use_fused_mlp(self.dim, self.hidden_dim)):
                 # whole-MLP kernel: the (tokens, hidden) tensor never
                 # leaves VMEM (see ops/int8_gemm.py)
                 k1, s1, a1, b1 = fc1(None, params_only=True)

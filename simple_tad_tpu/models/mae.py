@@ -51,6 +51,10 @@ class MAEConfig:
     drop_path_rate: float = 0.0
     init_values: float = 0.0
     use_learnable_pos_emb: bool = False
+    # encoder pos table: '1d' = interleaved sinusoid (VideoMAE,
+    # modeling_pretrain.py:195); '3d' = MVD's temporal+spatial sincos
+    # (other_models/MVD/modeling_pretrain.py:63-66).  Decoder always 1d.
+    pos_embed_kind: str = "1d"
     all_frames: int = 16
     tubelet_size: int = 2
     attn_impl: str = "auto"
@@ -161,6 +165,13 @@ class PretrainVideoMAE(nn.Module):
                 "encoder_pos_embed", trunc_normal_init(0.02),
                 (1, cfg.num_patches, cfg.encoder_embed_dim))
             enc_pos = enc_pos.astype(cfg.dtype)
+        elif cfg.pos_embed_kind == "3d":
+            from simple_tad_tpu.models.layers import sincos_3d_pos_embed
+            enc_pos = jnp.asarray(
+                sincos_3d_pos_embed(cfg.encoder_embed_dim,
+                                    cfg.img_size // cfg.patch_size,
+                                    cfg.all_frames // cfg.tubelet_size),
+                cfg.dtype)
         else:
             enc_pos = jnp.asarray(
                 sincos_pos_embed(cfg.num_patches, cfg.encoder_embed_dim),

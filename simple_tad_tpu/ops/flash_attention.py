@@ -58,14 +58,11 @@ def _pick_block(n: int, target: int = 0) -> int:
 
 # ---------------------------------------------------------------- forward ---
 
-def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
-                      fuse_l=False, int8_qk=False):
-    """Inference-only softmax without the max pass (~12% kernel speedup).
+def _attend_rows(q, k, v, *, scale, n_valid, fuse_l, int8_qk, out_dtype):
+    """One head's single-pass attention on VMEM-resident tiles.
 
-    Safe for the LN-bounded models here: attention logits stay far inside
-    exp2's fp32 range (overflow needs |s| > ~83 natural units).  The
-    autodiff path keeps the max-subtracted kernel (training weights can
-    drift); SIMPLE_TAD_SAFE_SOFTMAX=1 restores it for inference too.
+    q (Bq, D); k, v (Np, D) -> (Bq, D).  No max pass (inference-only; see
+    _fwd_kernel_nomax docstring).
 
     fuse_l: compute the softmax denominator ON THE MXU by appending a
     ones-column to v — the PV matmul is Dh(=64)-wide against 128 MXU
@@ -74,10 +71,9 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
     int8_qk: dynamic per-tile int8 quantization of q/k feeding an
     int8 MXU score matmul (measurement knob).
     """
-    v = v_ref[0]
     if int8_qk:
-        q32 = q_ref[0].astype(jnp.float32)
-        k32 = k_ref[0].astype(jnp.float32)
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
         sq = jnp.max(jnp.abs(q32)) / 127.0 + 1e-20
         sk = jnp.max(jnp.abs(k32)) / 127.0 + 1e-20
         qq = jnp.round(q32 / sq).astype(jnp.int8)
@@ -87,13 +83,11 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
             preferred_element_type=jnp.int32)
         s = s.astype(jnp.float32) * (sq * sk * scale * LOG2E)
     else:
-        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
-            q_ref.dtype)
-        k = k_ref[0]
+        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    if n_valid < k_ref.shape[1]:
+    if n_valid < k.shape[0]:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
     p = jnp.exp2(s)
@@ -105,13 +99,47 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
         o_full = jax.lax.dot_general(
             p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0] = (o_full[:, :D] / o_full[:, D:D + 1]).astype(o_ref.dtype)
-        return
+        return (o_full[:, :D] / o_full[:, D:D + 1]).astype(out_dtype)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    return (o / l).astype(out_dtype)
+
+
+def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
+                      fuse_l=False, int8_qk=False):
+    """Inference-only softmax without the max pass (~12% kernel speedup).
+
+    Safe for the LN-bounded models here: attention logits stay far inside
+    exp2's fp32 range (overflow needs |s| > ~83 natural units).  The
+    autodiff path keeps the max-subtracted kernel (training weights can
+    drift); SIMPLE_TAD_SAFE_SOFTMAX=1 restores it for inference too.
+    """
+    o_ref[0] = _attend_rows(q_ref[0], k_ref[0], v_ref[0], scale=scale,
+                            n_valid=n_valid, fuse_l=fuse_l,
+                            int8_qk=int8_qk, out_dtype=o_ref.dtype)
+
+
+def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
+                             head_dim, fuse_l=False, int8_qk=False):
+    """Single-pass kernel on the qkv GEMM's native packed (B, N, C) layout.
+
+    Each grid step receives a 128-LANE slice of the channel axis (one or
+    two heads, sliced statically by the BlockSpec), so q/k/v/out DMAs stay
+    fully CONTIGUOUS and the (B,N,H,D)->(B*H,N,D) relayout copies
+    disappear (~22 GB per ViT-B batch-96 eval batch, ~27 ms at 819 GB/s).
+    An earlier all-heads-per-step variant OOM'd scoped VMEM — Mosaic keeps
+    several unrolled heads' score temporaries live at once.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(q.shape[-1] // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        o_ref[0, :, sl] = _attend_rows(
+            q[:, sl], k[:, sl], v[:, sl], scale=scale, n_valid=n_valid,
+            fuse_l=fuse_l, int8_qk=int8_qk, out_dtype=o_ref.dtype)
 
 
 def _flash_primal_impl(q, k, v, scale, block_q):
@@ -145,6 +173,95 @@ def _flash_primal_impl(q, k, v, scale, block_q):
         out_shape=jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
     )(q, k, v)
     return out[:, :N]
+
+
+_LANE_GROUP = 128   # channel-axis block width (1-2 heads per grid step)
+
+
+def _packed_block_q(Np: int, C: int, D: int, block_q: int) -> int:
+    """Query-block rows for the packed kernel under a VMEM budget.
+
+    Mosaic DOUBLE-BUFFERS pipelined blocks, so the 128-lane k/v blocks
+    count twice; each query row carries the fp32 score strip + bf16 probs
+    per head in the lane group.  Returns 0 when the layout is unusable
+    (head dim not a divisor of 128 / channel axis not group-aligned)."""
+    if D <= 0 or _LANE_GROUP % D or C % _LANE_GROUP:
+        return 0
+    if block_q > 0:
+        return _pick_block(Np, block_q)
+    budget = 13 * 2 ** 20
+    kv_db = 4 * Np * _LANE_GROUP * 2
+    if kv_db >= budget:
+        return 0                         # caller uses the BH-layout path
+    per_row = (_LANE_GROUP // D) * Np * 6 + _LANE_GROUP * 16
+    return _pick_block(Np, max(8, (budget - kv_db) // per_row))
+
+
+def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
+    """Transpose-free inference forward on the packed (B, N, C) layout
+    (C = H*Dh): grid over (batch, 128-lane head group, query block).
+
+    Why: the (B,N,H,D)->(B*H,N,D) relayout is a real HBM copy — at ViT-B
+    batch-96 eval geometry the 4 transposes (q, k, v, out) per block move
+    ~22 GB per batch (~27 ms at 819 GB/s).
+    """
+    B, N, C = q.shape
+    D = C // num_heads
+    Np = _ceil_to(N, 8)
+    if Np - N:
+        zpad = ((0, 0), (0, Np - N), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
+    bq = _packed_block_q(Np, C, D, block_q)
+    assert bq > 0, "caller gates on _packed_block_q before dispatching here"
+    fuse_l = (D % 128) != 0 and not os.environ.get("SIMPLE_TAD_NO_FUSED_L")
+    int8_qk = bool(os.environ.get("SIMPLE_TAD_INT8_QK"))
+    G = _LANE_GROUP
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_nomax_packed, scale=scale, n_valid=N,
+                          head_dim=D, fuse_l=fuse_l, int8_qk=int8_qk),
+        grid=(B, C // G, Np // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+    )(q, k, v)
+    return out[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core_packed(q, k, v, num_heads, scale, block_q):
+    # inference primal: transpose-free kernel on the (B, N, H*D) layout
+    return _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q)
+
+
+def _flash_core_packed_fwd(q, k, v, num_heads, scale, block_q):
+    # training forward: the blocked bwd kernels want the (B*H, N, D)
+    # layout, so transpose here (the relayout cost only exists under grad)
+    B, N, C = q.shape
+    H, D = num_heads, C // num_heads
+    tr = lambda t: t.reshape(B, N, H, D).transpose(0, 2, 1, 3).reshape(
+        B * H, N, D)
+    out, lse = _flash_fwd_impl(tr(q), tr(k), tr(v), scale, block_q)
+    res = (tr(q), tr(k), tr(v), out, lse, B)
+    return (out.reshape(B, H, N, D).transpose(0, 2, 1, 3).reshape(B, N, C),
+            res)
+
+
+def _flash_core_packed_bwd(num_heads, scale, block_q, res, do):
+    qt, kt, vt, out, lse, B = res
+    N, D = qt.shape[1:]
+    H = num_heads
+    dot = do.reshape(B, N, H, D).transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    dq, dk, dv = _flash_bwd_impl(qt, kt, vt, out, lse, dot, scale, block_q)
+    back = lambda t: t.reshape(B, H, N, D).transpose(0, 2, 1, 3).reshape(
+        B, N, H * D)
+    return back(dq), back(dk), back(dv)
+
+
+_flash_core_packed.defvjp(_flash_core_packed_fwd, _flash_core_packed_bwd)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
@@ -523,6 +640,16 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
     if N > MAX_SINGLE_PASS_N:
         return jax.nn.dot_product_attention(q, k, v, scale=scale,
                                             implementation="xla")
+    if (dropout_mask is None and not os.environ.get("SIMPLE_TAD_NO_BNHD")
+            and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
+            and _packed_block_q(_ceil_to(N, 8), H * D, D, block_q) > 0):
+        # transpose-free packed layout (inference primal; grad transposes
+        # inside the custom-vjp fwd)
+        out = _flash_core_packed(q.reshape(B, N, H * D),
+                                 k.reshape(B, N, H * D),
+                                 v.reshape(B, N, H * D),
+                                 H, float(scale), block_q)
+        return out.reshape(B, N, H, D)
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     kt = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     vt = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)

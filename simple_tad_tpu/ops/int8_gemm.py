@@ -1,29 +1,30 @@
 """Fused w8a8 Pallas GEMM kernels (quantize-in-kernel int8 matmul).
 
-Why these exist: the XLA int8 path (`ops/quant.py:int8_matmul_static`)
-materializes a separate int8 copy of every GEMM input — an extra HBM pass
-over the activations that eats most of the 2x int8 MXU win (measured round
-1: bf16 249.5 -> int8-static 288.2 windows/s, +15% where the FLOP math
-promises +~50% on the GEMM share).  Here the activation quantization
-happens *inside* the kernel on the VMEM-resident tile (a few VPU ops per
-input element, negligible against the matmul), so the only HBM traffic is
-the bf16 activations (same as the bf16 path) and the int8 weights (half
-of bf16).
+STATUS — measured on v5e and currently OPT-IN, not the production path.
+The hypothesis (VERDICT r1 #1) was that the unfused XLA int8 path pays an
+extra materialized quantize pass per GEMM.  Whole-model A/B on the real
+chip falsified it: XLA already fuses the static scale+round+clip into the
+producer epilogue (LN/GELU), and its int8 GEMM emitter sustains 267 TF/s
+through a 12-block scan where this Mosaic kernel reaches 215 TF/s — swap
+the fused kernels into ViT-B eval and throughput drops 298.7 -> 211.0
+(per-GEMM) / 227.3 (with the whole-MLP kernel) windows/s.  Standalone
+single-GEMM programs DO win (5.11 ms vs 5.39 ms at M=150528 K=768 N=2304
+including the ~3 ms per-dispatch relay cost) because there is no producer
+to fuse the quantize into.  Kept for that case and as the substrate for
+epilogue fusions XLA cannot express; enable with SIMPLE_TAD_FUSED_W8A8=1 /
+SIMPLE_TAD_FUSED_MLP=1.
 
 Two kernels:
 
   * ``w8a8_gemm`` — y = act(q8(x) @ Wq) * (w_scale * a_amax/127) + b for a
     single GEMM; optional fused bias + GELU epilogue.
   * ``w8a8_mlp``  — the whole transformer MLP (fc1 -> GELU -> quantize ->
-    fc2) in ONE pallas_call.  The (tokens, 4*dim) hidden tensor never
-    touches HBM: at ViT-B batch-96 eval geometry that hidden is
-    150528 x 3072 x 2B = 0.92 GB *per block per direction*; skipping the
-    write+read saves ~230 MB of HBM traffic per window (~0.28 ms at v5e's
-    819 GB/s) on top of the MXU-rate win.
+    fc2) in ONE pallas_call; the (tokens, 4*dim) hidden tensor never
+    touches HBM.
 
-Replaces the matmul work the reference does through torch/cuBLAS inside
+Parity: the matmul work the reference does through torch/cuBLAS inside
 /root/reference/modeling_finetune.py:37-54 (Mlp) and :57-134 (Attention
-qkv/proj) for the opt-in int8 inference path; the quantization recipe
+qkv/proj), for the opt-in int8 inference path; the quantization recipe
 (per-output-channel weights, static per-tensor activation scales) is
 unchanged from ops/quant.py.
 
@@ -49,19 +50,23 @@ _VMEM_BUDGET = 12 * 2 ** 20
 def use_fused_w8a8(in_dim: int, out_dim: int) -> bool:
     """Route a static-quant GEMM through the fused Pallas kernel?
 
-    Requires the TPU backend (tests run the kernels via interpret mode
-    explicitly), lane-aligned dims, and no opt-out.  SIMPLE_TAD_FUSED_W8A8
-    values: '0' disables, 'force' enables off-TPU (interpret-mode tests).
+    DEFAULT OFF — measured v5e (ViT-B eval, whole-model A/B, quiet chip):
+    XLA's int8 GEMM emitter sustains 267 TF/s through a 12-block scan and
+    already fuses the static quantize into the producer epilogue; this
+    Mosaic kernel reaches 215 TF/s on the same chain (298.7 -> 211.0
+    windows/s when swapped in).  Kept as an opt-in building block (it DOES
+    win when a GEMM stands alone with nothing to fuse into, and it is the
+    substrate for future epilogue fusions XLA cannot express).
+    SIMPLE_TAD_FUSED_W8A8: '1' enables on TPU, 'force' enables anywhere
+    (interpret-mode tests).
     """
     import os
     flag = os.environ.get("SIMPLE_TAD_FUSED_W8A8", "")
-    if flag == "0":
+    if flag not in ("1", "force"):
         return False
     if in_dim % 128 or out_dim % 128:
         return False
-    if flag == "force":
-        return True
-    return jax.default_backend() == "tpu"
+    return flag == "force" or jax.default_backend() == "tpu"
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -196,10 +201,21 @@ def mlp_block_m(dim: int, hidden: int) -> int:
 
 
 def mlp_fits_vmem(dim: int, hidden: int) -> bool:
-    import os
-    if os.environ.get("SIMPLE_TAD_FUSED_MLP") == "0":   # A/B knob
-        return False
     return mlp_block_m(dim, hidden) > 0
+
+
+def use_fused_mlp(dim: int, hidden: int) -> bool:
+    """Gate for the whole-MLP kernel — same default-off rationale as
+    use_fused_w8a8 (whole-model A/B: fused-MLP beat the fused per-GEMM
+    config by +16 w/s but both lose to XLA's chain); SIMPLE_TAD_FUSED_MLP=1
+    opts in on TPU, 'force' anywhere (interpret-mode tests)."""
+    import os
+    flag = os.environ.get("SIMPLE_TAD_FUSED_MLP", "")
+    if flag not in ("1", "force"):
+        return False
+    if dim % 128 or hidden % 128 or not mlp_fits_vmem(dim, hidden):
+        return False
+    return flag == "force" or jax.default_backend() == "tpu"
 
 
 def w8a8_mlp(x, w1_q, s1, amax1, b1, w2_q, s2, amax2, b2, *,

@@ -72,10 +72,15 @@ def test_w8a8_mlp_matches_unfused_chain():
                                rtol=1e-5, atol=1e-4)
 
 
-def test_mlp_vmem_gate():
+def test_mlp_vmem_gate(monkeypatch):
     assert mlp_fits_vmem(768, 3072)        # ViT-B / IV2-B
-    assert mlp_fits_vmem(1024, 4096)       # ViT-L
+    assert mlp_fits_vmem(1024, 4096)       # ViT-L (at block_m 128)
     assert not mlp_fits_vmem(1408, 6144)   # IV2-1B weight pair > VMEM
+    from simple_tad_tpu.ops.int8_gemm import use_fused_mlp
+    assert not use_fused_mlp(768, 3072)    # default OFF (XLA chain wins)
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_MLP", "force")
+    assert use_fused_mlp(768, 3072)
+    assert not use_fused_mlp(1408, 6144)
 
 
 def test_use_fused_gate_alignment_and_env(monkeypatch):
@@ -86,7 +91,7 @@ def test_use_fused_gate_alignment_and_env(monkeypatch):
     monkeypatch.setenv("SIMPLE_TAD_FUSED_W8A8", "0")
     assert not use_fused_w8a8(768, 2304)
     monkeypatch.delenv("SIMPLE_TAD_FUSED_W8A8")
-    assert not use_fused_w8a8(768, 2304)   # CPU backend in tests
+    assert not use_fused_w8a8(768, 2304)   # default OFF everywhere
 
 
 @pytest.mark.slow
@@ -105,12 +110,14 @@ def test_static_quant_vit_fused_path_matches_unfused():
                                              deterministic=True)
     ref = qmodel.apply({"params": qparams}, x, deterministic=True)
     os.environ["SIMPLE_TAD_FUSED_W8A8"] = "force"
+    os.environ["SIMPLE_TAD_FUSED_MLP"] = "force"
     try:
         with pltpu.force_tpu_interpret_mode():
             got = jax.jit(lambda p, x: qmodel.apply(
                 {"params": p}, x, deterministic=True))(qparams, x)
     finally:
         del os.environ["SIMPLE_TAD_FUSED_W8A8"]
+        del os.environ["SIMPLE_TAD_FUSED_MLP"]
     # same int math; differences come from fp32 epilogue association and
     # the tanh-vs-erf GELU on the fused MLP path
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

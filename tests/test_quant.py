@@ -140,3 +140,28 @@ def test_inference_cli_quant8_internvideo2(tmp_path):
     df = pd.read_csv(out)
     assert len(df) == 12 - 8 + 1
     assert np.isfinite(df["risk"].to_numpy()).all()
+
+
+def test_static_quant_drift_bound_vs_bf16():
+    """VERDICT r1 #1 'done' criterion: a fixture bounding int8-vs-bf16
+    logit drift on the PRODUCTION static-quant path (calibrated scales,
+    the exact pipeline bench.py serves).  Head kernel randomized so the
+    logits are at realistic scale, not the zero-init default."""
+    import jax.numpy as jnp
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    fp = _model(False)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    head = dict(params["head"])
+    head["kernel"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), np.shape(head["kernel"]))
+    params = {**params, "head": head}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 32, 32, 3))
+    want = np.asarray(fp.apply({"params": params}, x))
+
+    qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+    got = np.asarray(qmodel.apply({"params": qparams}, x))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < max(0.08 * scale, 0.05), \
+        (np.abs(got - want).max(), scale)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75

