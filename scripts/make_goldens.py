@@ -130,6 +130,12 @@ def _fill_and_manifest(model) -> dict:
     manifest = {}
     with torch.no_grad():
         for name, p in model.named_parameters():
+            if not p.requires_grad:
+                # frozen tables (e.g. MVD pretrain's 3D sincos pos_embed,
+                # an nn.Parameter with requires_grad=False) keep the
+                # model's OWN values — that is exactly what the golden
+                # must gate on the reimplementation side
+                continue
             manifest[name] = list(p.shape)
             p.copy_(torch.from_numpy(gu.param_fill(name, tuple(p.shape))))
     return manifest
@@ -241,6 +247,25 @@ def main():
     _run(m, [x], os.path.join(out_dir, "umt_s_8f.npz"),
          dict(model="umt_vit_small_patch16_224", num_classes=2,
               all_frames=8, tubelet_size=1, input_seed=109, batch=1))
+
+    # --- MVD MAE pretrain ViT-S: 3D sincos encoder table, 1D decoder
+    # table (other_models/MVD/modeling_pretrain.py:63-66,:279,:317)
+    mvd_mp = _import_file("ref_mvd.modeling_pretrain",
+                          os.path.join(REF, "other_models/MVD/"
+                                       "modeling_pretrain.py"),
+                          package_dir=os.path.join(REF, "other_models/MVD"))
+    m = mvd_mp.pretrain_videomae_mvd_small_patch16_224(
+        decoder_depth=4, use_flash_attn=False)
+    n_patches = 8 * 196
+    n_masked = int(n_patches * 0.9)
+    x = gu.input_video(110, 1, 16, 224)
+    mask = gu.tube_mask(111, 1, n_patches, n_masked)
+    _run(m, [x, torch.from_numpy(mask)],
+         os.path.join(out_dir, "mvd_mae_s.npz"),
+         dict(model="pretrain_videomae_mvd_small_patch16_224",
+              input_seed=110, batch=1, mask_seed=111, n_masked=n_masked,
+              decoder_depth=4),
+         slice_tokens=128)
 
     # --- InternVideo2-S: RMSNorm/QK-norm/LayerScale/attention-pooling
     # (other_models/InternVideo2_single_modality/models/internvideo2.py:372)

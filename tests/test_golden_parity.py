@@ -181,3 +181,30 @@ def test_export_roundtrip_into_reference_model():
         {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
         deterministic=True))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_golden_mvd_mae_s():
+    """MVD-style MAE pretrain vs the EXECUTED reference
+    (other_models/MVD/modeling_pretrain.py): gates the 3D-sincos encoder
+    table (kept frozen at the reference's own values during golden
+    generation) plus the shared encoder/decoder pipeline."""
+    want, manifest, meta = _load("mvd_mae_s.npz")
+    assert not any("pos" in k for k in manifest)   # frozen, not filled
+    sd = gu.build_state_dict(manifest)
+    model = create_model("pretrain_videomae_mvd_small_patch16_224",
+                         decoder_depth=meta["decoder_depth"],
+                         attn_impl="xla")
+    x = gu.input_video(meta["input_seed"], meta["batch"], 16, 224)
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    n_patches = 8 * 196
+    mask = gu.tube_mask(meta["mask_seed"], meta["batch"], n_patches,
+                        meta["n_masked"])
+    params = model.init(jax.random.PRNGKey(0), x_j, jnp.asarray(mask),
+                        meta["n_masked"])["params"]
+    loaded = tc.torch_to_mae_params(sd, encoder_depth=12,
+                                    decoder_depth=meta["decoder_depth"])
+    params = tc.merge_params(params, loaded)
+    got = np.asarray(model.apply({"params": params}, x_j, jnp.asarray(mask),
+                                 meta["n_masked"]))
+    np.testing.assert_allclose(got[:, :meta["slice_tokens"]], want,
+                               atol=1e-4, rtol=1e-4)
