@@ -196,17 +196,21 @@ def main(argv=None):
 
         nonlocal_key = jax.random.fold_in(aug_key, epoch)
         for parts in ml.log_every(batches(), header=f"Epoch [{epoch}]"):
-            videos, masks = [], []
-            for part in parts:
-                nonlocal_key, k = jax.random.split(nonlocal_key)
-                videos.append(augment(put(part["video_u8"]), k,
+            # concatenate the dual-dataset halves on the HOST, then one
+            # device augment over the combined batch: fewer distinct XLA
+            # programs (the per-part augment + device-concat pair
+            # intermittently segfaulted XLA:CPU compile deep into the
+            # test suite), and augment draws per-sample params anyway
+            if len(parts) > 1:
+                video_u8 = np.concatenate([p["video_u8"] for p in parts])
+                mask = np.concatenate([p["mask"] for p in parts])
+            else:
+                video_u8, mask = parts[0]["video_u8"], parts[0]["mask"]
+            nonlocal_key, k = jax.random.split(nonlocal_key)
+            batch = {"video": augment(put(video_u8), k,
                                       crop_size=cfg.input_size,
-                                      dtype=dtype))
-                masks.append(put(part["mask"]))
-            batch = {"video": jnp.concatenate(videos) if len(videos) > 1
-                     else videos[0],
-                     "mask": jnp.concatenate(masks) if len(masks) > 1
-                     else masks[0]}
+                                      dtype=dtype),
+                     "mask": put(mask)}
             state, metrics = step(state, batch)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):

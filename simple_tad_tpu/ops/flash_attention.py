@@ -187,6 +187,7 @@ def _packed_block_q(Np: int, C: int, D: int, block_q: int) -> int:
     (head dim not a divisor of 128 / channel axis not group-aligned)."""
     if D <= 0 or _LANE_GROUP % D or C % _LANE_GROUP:
         return 0
+    block_q = block_q or int(os.environ.get("SIMPLE_TAD_ATTN_BLOCK_Q", 0))
     if block_q > 0:
         return _pick_block(Np, block_q)
     budget = 13 * 2 ** 20
