@@ -190,7 +190,12 @@ def _packed_block_q(Np: int, C: int, D: int, block_q: int) -> int:
     block_q = block_q or int(os.environ.get("SIMPLE_TAD_ATTN_BLOCK_Q", 0))
     if block_q > 0:
         return _pick_block(Np, block_q)
-    budget = 13 * 2 ** 20
+    # budget calibrated empirically on v5e: the worst-case liveness model
+    # (score+probs for every head in the group at once) overstates what
+    # Mosaic actually keeps; 18M picks bq=784 at ViT-B/L geometry, which
+    # measured fastest (332.3 vs 325.4 w/s at 392, 301.3 at 196) and
+    # compiles within the 16M scoped-vmem limit
+    budget = 18 * 2 ** 20
     kv_db = 4 * Np * _LANE_GROUP * 2
     if kv_db >= budget:
         return 0                         # caller uses the BH-layout path
