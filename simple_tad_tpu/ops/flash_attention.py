@@ -285,10 +285,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)                    # (Bq, 1)
     p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    D = v.shape[1]
+    if D % 128:
+        # denominator on the MXU via a ones-column in v (free lanes at
+        # Dh=64) — same trick as the inference kernel; lse = m + log2(l)
+        Np = v.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (Np, 128 - D % 128), 1)
+        v_aug = jnp.concatenate([v, (col == 0).astype(v.dtype)], axis=1)
+        o_full = jax.lax.dot_general(
+            p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o, l = o_full[:, :D], o_full[:, D:D + 1]
+    else:
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     # normalize AFTER the matmul: a (Bq, Dh) divide instead of a full
     # (Bq, N) pass over p
     o_ref[0] = (o / l).astype(o_ref.dtype)
