@@ -10,6 +10,7 @@ Shapes: q, k, v are (B, N, H, Dh); output (B, N, H, Dh).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -76,10 +77,17 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         else:
             impl = "xla"
 
-    mask = None
+    mask = seed = None
     if dropping and impl == "pallas" and q.shape[1] > MAX_SINGLE_PASS_N:
         impl = "naive"   # pallas falls back to XLA above this N: no dropout
-    if dropping and impl in ("pallas", "naive"):
+    if dropping and impl == "pallas" and jax.default_backend() == "tpu" \
+            and not os.environ.get("SIMPLE_TAD_DROPOUT_MASK"):
+        # production path: keep bits from the TPU hardware PRNG inside
+        # the kernels — nothing materialized (see flash_attention.py).
+        # Interpret mode has no PRNG, so off-TPU keeps the mask path.
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(dropout_rng, (1, 2), jnp.uint32), jnp.int32)
+    elif dropping and impl in ("pallas", "naive"):
         B, N, H, _ = q.shape
         mask = make_dropout_mask(dropout_rng, dropout_rate, B, H, N)
 
@@ -97,7 +105,8 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         keep = 1.0 - dropout_rate
         if dh % 64 == 0:
             return flash_attention(q, k, v, scale=scale,
-                                   dropout_mask=mask, keep_prob=keep)
+                                   dropout_mask=mask, dropout_seed=seed,
+                                   keep_prob=keep)
         # odd head dims (InternVideo2-1B: 88) — zero-pad to the next lane
         # multiple; padded q/k columns contribute 0 to every score and
         # padded v columns produce output columns we slice off, so the
@@ -106,6 +115,7 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         cfg = [(0, 0)] * (q.ndim - 1) + [(0, pad)]
         out = flash_attention(jnp.pad(q, cfg), jnp.pad(k, cfg),
                               jnp.pad(v, cfg), scale=scale,
-                              dropout_mask=mask, keep_prob=keep)
+                              dropout_mask=mask, dropout_seed=seed,
+                              keep_prob=keep)
         return out[..., :dh]
     raise ValueError(f"unknown attention impl: {impl!r}")

@@ -394,32 +394,39 @@ def _bwd_dq_kernel_drop(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel_drop(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          m_ref, dk_ref, dv_ref, *, scale, n_valid, inv_keep):
-    q_raw = q_ref[0]
+    """TRANSPOSED orientation ((Bk, Np) score tiles): the int8 keep-mask
+    then streams as ROW blocks of the pre-transposed (BH, Nk, Nq) mask.
+    Column blocks of the original mask are illegal on TPU whenever the
+    key-block width isn't lane-aligned (Mosaic requires the last block
+    dim be a multiple of 128 or the full axis — N=1568 has no 128-aligned
+    divisors; caught on hardware, invisible to interpret mode)."""
+    q_raw = q_ref[0]                                         # (Np, D)
     q = (q_raw.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
-    k = k_ref[0]
+    k = k_ref[0]                                             # (Bk, D)
     v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    do = do_ref[0]                                           # (Np, D)
+    lse = lse_ref[0]                                         # (1, Np)
+    delta = delta_ref[0]                                     # (1, Np)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if n_valid < q.shape[0]:
-        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Bk, Np)
+    if n_valid < q_raw.shape[0]:
+        # padded q columns: their lse is 0, exp2(s) could explode
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(q_idx < n_valid, s, NEG_INF)
-    p = jnp.exp2(s - lse)                                    # (Np, Bk)
-    mt = m_ref[0].astype(jnp.float32) * inv_keep             # (Np, Bk)
+    p = jnp.exp2(s - lse)                                    # (Bk, Np)
+    mt = m_ref[0].astype(jnp.float32) * inv_keep             # (Bk, Np)
     pd = p * mt
     dv = jax.lax.dot_general(
-        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        pd.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (Bk, D)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * mt             # (Np, Bk)
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * mt             # (Bk, Np)
     ds = p * (dp - delta)
     dk = jax.lax.dot_general(
-        ds.astype(q_raw.dtype), q_raw, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        ds.astype(q_raw.dtype), q_raw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (Bk, D)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -431,7 +438,11 @@ def _flash_drop_fwd_impl(q, k, v, mask, scale, keep_prob, block_q):
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
         mask = jnp.pad(mask, ((0, 0), (0, Np - N), (0, Np - N)))
-    bq = _pick_block(Np, block_q)
+    # the int8 mask tile (double-buffered) rides along with the fp32
+    # score strip: full-sequence blocks OOM scoped vmem (20.6M measured
+    # at N=1568), so budget ~10 bytes/row-element
+    bq = _pick_block(Np, block_q if block_q > 0 else
+                     max(128, (11 * 2 ** 20) // (Np * 10)))
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_drop, scale=scale, n_valid=N,
                           inv_keep=1.0 / keep_prob),
@@ -473,9 +484,8 @@ def _flash_drop_bwd_impl(q, k, v, mask, o, lse, do, scale, keep_prob,
     qkv_spec_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
     blk_spec = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
     row_blk = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0))
-    row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
+    lane_full = pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0))
     mask_rows = pl.BlockSpec((1, bq, Np), lambda b, i: (b, i, 0))
-    mask_cols = pl.BlockSpec((1, Np, bq), lambda b, i: (b, 0, i))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_drop, scale=scale, n_valid=N,
@@ -487,16 +497,21 @@ def _flash_drop_bwd_impl(q, k, v, mask, o, lse, do, scale, keep_prob,
         out_shape=jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
     )(q, k, v, do, lse3, delta3, mask)
 
+    # dkv runs transposed (see its docstring): mask transposed once here
+    # in XLA, lse/delta as (1, Np) lane vectors
+    mask_t = jnp.swapaxes(mask, 1, 2)
+    lse_row = jnp.swapaxes(lse3, 1, 2)
+    delta_row = jnp.swapaxes(delta3, 1, 2)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_drop, scale=scale, n_valid=N,
                           inv_keep=inv_keep),
         grid=(BH, Np // bq),
         in_specs=[qkv_spec_full, blk_spec, blk_spec, qkv_spec_full,
-                  row_full, row_full, mask_cols],
+                  lane_full, lane_full, mask_rows],
         out_specs=[blk_spec, blk_spec],
         out_shape=[jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
                    jax.ShapeDtypeStruct((BH, Np, D), q.dtype)],
-    )(q, k, v, do, lse3, delta3, mask)
+    )(q, k, v, do, lse_row, delta_row, mask_t)
 
     return dq[:, :N], dk[:, :N], dv[:, :N]
 
@@ -520,6 +535,247 @@ def _flash_core_drop_bwd(scale, keep_prob, block_q, res, do):
 
 
 _flash_core_drop.defvjp(_flash_core_drop_fwd, _flash_core_drop_bwd)
+
+
+# ----------------------------------------------- dropout, in-kernel PRNG ---
+# The mask-array path above is exact and testable on CPU, but materializing
+# (BH, N, N) int8 masks per layer costs ~2.1x on a real training step
+# (402 -> 844 ms measured: threefry generation + 708 MB/layer of traffic,
+# regenerated under remat).  The production path instead draws the keep
+# bits from the TPU's hardware PRNG *inside* each kernel: bits come in
+# (B0, B0) units seeded by (seed, bh, q_unit, k_unit), so the forward and
+# both backward kernels regenerate identical masks from a 2-word seed and
+# no mask ever touches HBM.  This is the same trick the reference's CUDA
+# flash-attn uses with Philox (flash_attention_class.py:26-69).
+# Interpret mode returns zero bits, so numerical validation runs on
+# hardware (scripts/check_dropout_rng.py); CPU tests cover the mask path.
+
+def _drop_block(Np: int) -> int:
+    """Shared unit/block size for all three dropout-RNG kernels."""
+    return _pick_block(Np, max(128, (11 * 2 ** 20) // (Np * 10)))
+
+
+_SEED_MIX = -1640531527   # 0x9E3779B9 as int32: odd => bijective in mix
+
+
+def _unit_keep(seed_ref, unit_id, shape, thresh, inv_keep):
+    """(B0, B0) keep-mask unit scaled by 1/keep, as f32.
+
+    Mosaic's prng_seed takes at most 2 words, so the (bh, q_unit, k_unit)
+    coordinates are packed bijectively into ``unit_id`` by the caller and
+    spread over the seed space with a golden-ratio multiply."""
+    pltpu.prng_seed(seed_ref[0, 0],
+                    seed_ref[0, 1] + unit_id * _SEED_MIX)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return jnp.where(bits >= thresh, inv_keep, 0.0)
+
+
+def _fwd_kernel_drop_rng(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                         scale, n_valid, thresh, inv_keep, b0):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (B0, Np)
+    if n_valid < k.shape[0]:
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)                    # pre-dropout
+    nu = k.shape[0] // b0
+    cols = []
+    for kb in range(nu):
+        uid = (bh * nu + qi) * nu + kb
+        keep = _unit_keep(seed_ref, uid, (b0, b0), thresh, inv_keep)
+        cols.append(p[:, kb * b0:(kb + 1) * b0] * keep)
+    pd = jnp.concatenate(cols, axis=1)
+    o = jax.lax.dot_general(
+        pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log2(l)
+
+
+def _bwd_dq_kernel_drop_rng(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                            delta_ref, dq_ref, *, scale, n_valid, thresh,
+                            inv_keep, b0):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (B0, Np)
+    if n_valid < k.shape[0]:
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (B0, Np)
+    nu = k.shape[0] // b0
+    cols = []
+    for kb in range(nu):
+        uid = (bh * nu + qi) * nu + kb
+        keep = _unit_keep(seed_ref, uid, (b0, b0), thresh, inv_keep)
+        cols.append(dp[:, kb * b0:(kb + 1) * b0] * keep)
+    dpm = jnp.concatenate(cols, axis=1)
+    ds = p * (dpm - delta)
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_drop_rng(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                             delta_ref, dk_ref, dv_ref, *, scale, n_valid,
+                             thresh, inv_keep, b0):
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    q_raw = q_ref[0]                                         # (Np, D)
+    q = (q_raw.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]                                             # (B0, D)
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, B0)
+    if n_valid < q.shape[0]:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(q_idx < n_valid, s, NEG_INF)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, B0)
+    nu = q.shape[0] // b0
+    pd_rows, dpm_rows = [], []
+    for qb in range(nu):
+        uid = (bh * nu + qb) * nu + ki
+        keep = _unit_keep(seed_ref, uid, (b0, b0), thresh, inv_keep)
+        sl = slice(qb * b0, (qb + 1) * b0)
+        pd_rows.append(p[sl] * keep)
+        dpm_rows.append(dp[sl] * keep)
+    pd = jnp.concatenate(pd_rows, axis=0)
+    dpm = jnp.concatenate(dpm_rows, axis=0)
+    dv = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (B0, D)
+    ds = p * (dpm - delta)
+    dk = jax.lax.dot_general(
+        ds.astype(q_raw.dtype), q_raw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _drop_rng_thresh(rate: float) -> int:
+    return min(int(rate * 2 ** 32), 2 ** 32 - 1)
+
+
+def _flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob):
+    BH, N, D = q.shape
+    Np = _ceil_to(N, 8)
+    if Np - N:
+        zpad = ((0, 0), (0, Np - N), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
+    b0 = _drop_block(Np)
+    kw = dict(scale=scale, n_valid=N, thresh=_drop_rng_thresh(1 - keep_prob),
+              inv_keep=1.0 / keep_prob, b0=b0)
+    seed_spec = pl.BlockSpec((1, 2), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_drop_rng, **kw),
+        grid=(BH, Np // b0),
+        in_specs=[
+            seed_spec,
+            pl.BlockSpec((1, b0, D), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, Np, D), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, Np, D), lambda b, qi: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b0, D), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, b0, 1), lambda b, qi: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, Np, 1), jnp.float32),
+        ],
+    )(seed, q, k, v)
+    return out[:, :N], lse[:, :N, 0]
+
+
+def _flash_drop_rng_bwd_impl(q, k, v, seed, o, lse, do, scale, keep_prob):
+    BH, N, D = q.shape
+    Np = _ceil_to(N, 8)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    lse3 = lse[:, :, None]
+    delta3 = delta[:, :, None]
+    if Np - N:
+        zpad3 = ((0, 0), (0, Np - N), (0, 0))
+        q, k, v, do = (jnp.pad(a, zpad3) for a in (q, k, v, do))
+        lse3, delta3 = jnp.pad(lse3, zpad3), jnp.pad(delta3, zpad3)
+    b0 = _drop_block(Np)
+    kw = dict(scale=scale, n_valid=N, thresh=_drop_rng_thresh(1 - keep_prob),
+              inv_keep=1.0 / keep_prob, b0=b0)
+    seed_spec = pl.BlockSpec((1, 2), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    qkv_spec_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
+    blk_spec = pl.BlockSpec((1, b0, D), lambda b, i: (b, i, 0))
+    row_blk = pl.BlockSpec((1, b0, 1), lambda b, i: (b, i, 0))
+    row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_drop_rng, **kw),
+        grid=(BH, Np // b0),
+        in_specs=[seed_spec, blk_spec, qkv_spec_full, qkv_spec_full,
+                  blk_spec, row_blk, row_blk],
+        out_specs=blk_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+    )(seed, q, k, v, do, lse3, delta3)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_drop_rng, **kw),
+        grid=(BH, Np // b0),
+        in_specs=[seed_spec, qkv_spec_full, blk_spec, blk_spec,
+                  qkv_spec_full, row_full, row_full],
+        out_specs=[blk_spec, blk_spec],
+        out_shape=[jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+                   jax.ShapeDtypeStruct((BH, Np, D), q.dtype)],
+    )(seed, q, k, v, do, lse3, delta3)
+
+    return dq[:, :N], dk[:, :N], dv[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_core_drop_rng(q, k, v, seed, scale, keep_prob):
+    out, _ = _flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob)
+    return out
+
+
+def _flash_core_drop_rng_fwd(q, k, v, seed, scale, keep_prob):
+    out, lse = _flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob)
+    return out, (q, k, v, seed, out, lse)
+
+
+def _flash_core_drop_rng_bwd(scale, keep_prob, res, do):
+    q, k, v, seed, out, lse = res
+    dq, dk, dv = _flash_drop_rng_bwd_impl(q, k, v, seed, out, lse, do,
+                                          scale, keep_prob)
+    return dq, dk, dv, jnp.zeros_like(seed)
+
+
+_flash_core_drop_rng.defvjp(_flash_core_drop_rng_fwd,
+                            _flash_core_drop_rng_bwd)
 
 
 # --------------------------------------------------------------- backward ---
@@ -647,18 +903,24 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
-                    dropout_mask=None, keep_prob: float = 1.0):
+                    dropout_mask=None, dropout_seed=None,
+                    keep_prob: float = 1.0):
     """Non-causal fused attention.  q, k, v: (B, N, H, Dh) -> (B, N, H, Dh).
 
-    dropout_mask: optional (B, H, N, N) int8 keep-mask (1 keep / 0 drop)
-    applied AFTER the softmax with 1/keep_prob rescale — torch F.dropout
-    semantics on the attention probs (flash_attention_class.py:26-69).
+    Attention dropout (torch F.dropout semantics on the softmax probs,
+    flash_attention_class.py:26-69), two mutually exclusive forms:
+      dropout_mask: explicit (B, H, N, N) int8 keep-mask — exact, CPU
+        testable, but materializes N^2 bytes per head (slow at scale).
+      dropout_seed: (1, 2) int32 — keep bits drawn INSIDE the kernels
+        from the TPU hardware PRNG; nothing is materialized.  Production
+        training path (402 -> 844 ms/step with masks, ~? with RNG).
     """
     B, N, H, D = q.shape
     if N > MAX_SINGLE_PASS_N:
         return jax.nn.dot_product_attention(q, k, v, scale=scale,
                                             implementation="xla")
-    if (dropout_mask is None and not os.environ.get("SIMPLE_TAD_NO_BNHD")
+    dropping = dropout_mask is not None or dropout_seed is not None
+    if (not dropping and not os.environ.get("SIMPLE_TAD_NO_BNHD")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
             and _packed_block_q(_ceil_to(N, 8), H * D, D, block_q) > 0):
         # transpose-free packed layout (inference primal; grad transposes
@@ -671,7 +933,10 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     kt = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     vt = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
-    if dropout_mask is not None:
+    if dropout_seed is not None:
+        out = _flash_core_drop_rng(qt, kt, vt, dropout_seed, float(scale),
+                                   float(keep_prob))
+    elif dropout_mask is not None:
         mt = dropout_mask.reshape(B * H, N, N)
         out = _flash_core_drop(qt, kt, vt, mt, float(scale),
                                float(keep_prob), block_q)

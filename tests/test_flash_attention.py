@@ -91,3 +91,33 @@ def test_flash_dropout_backward_matches_naive_same_mask():
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_flash_dropout_backward_blocked():
+    """Blocked (bq < N) dropout backward — exercises the transposed dkv
+    kernel's block math (the full-block case degenerates to whole-array
+    tiles and hides indexing bugs)."""
+    from simple_tad_tpu.ops.attention import _naive_attention
+    B, n, H, D = 1, 320, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), B, n, H, D)
+    scale = 64 ** -0.5
+    rate = 0.3
+    mask = jax.random.bernoulli(jax.random.PRNGKey(11), 1 - rate,
+                                (B, H, n, n)).astype(jnp.int8)
+
+    def loss_naive(q, k, v):
+        out = _naive_attention(q, k, v, scale, dropout_rate=rate,
+                               deterministic=False, dropout_mask=mask)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, scale=scale, dropout_mask=mask,
+                              keep_prob=1 - rate, block_q=80)
+        return jnp.sum(jnp.sin(out))
+
+    want = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)
