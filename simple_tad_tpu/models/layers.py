@@ -278,17 +278,14 @@ class Attention(nn.Module):
         if qkv_bias_vec is not None:
             qkv = qkv + qkv_bias_vec.astype(self.dtype)
 
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
-
         dropout_rng = None
         if self.attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            q, k, v, scale=scale, impl=self.attn_impl,
+        from simple_tad_tpu.ops.attention import dot_product_attention_qkv
+        out = dot_product_attention_qkv(
+            qkv, num_heads=self.num_heads, scale=scale, impl=self.attn_impl,
             dropout_rate=self.attn_drop, dropout_rng=dropout_rng,
             deterministic=deterministic)
-        out = out.reshape(B, N, all_head_dim)
 
         if self.quant:
             out = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,

@@ -51,6 +51,43 @@ def _xla_attention(q, k, v, scale):
                                         implementation="xla")
 
 
+def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
+                              impl: str = "auto", dropout_rate: float = 0.0,
+                              dropout_rng=None, deterministic: bool = True):
+    """Attention straight off the packed qkv projection.
+
+    qkv: (B, N, 3*C) in [q | k | v] column order (the reference's packed
+    parameterization, modeling_finetune.py:100-104) -> (B, N, C).
+
+    On the TPU fast path the kernel reads q/k/v through block specs into
+    the ORIGINAL qkv array — XLA otherwise materializes the three column
+    slices as real copies (~17 GB per ViT-B batch-96 eval batch) because
+    Pallas operands cannot absorb fused producers.  Everything else falls
+    back to slicing + dot_product_attention.
+    """
+    from simple_tad_tpu.ops.flash_attention import (MAX_SINGLE_PASS_N,
+                                                    _ceil_to,
+                                                    _packed_block_q,
+                                                    flash_attention_qkv)
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    dropping = dropout_rate > 0.0 and not deterministic
+    if (impl == "auto" and not dropping
+            and jax.default_backend() == "tpu"
+            and D % 64 == 0 and N <= MAX_SINGLE_PASS_N
+            and not os.environ.get("SIMPLE_TAD_NO_BNHD")
+            and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
+            and _packed_block_q(_ceil_to(N, 8), C, D, 0) > 0):
+        return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale)
+    qkv4 = qkv.reshape(B, N, 3, num_heads, D)
+    out = dot_product_attention(
+        qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2], scale=scale,
+        impl=impl, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        deterministic=deterministic)
+    return out.reshape(B, N, C)
+
+
 def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
                           dropout_rate: float = 0.0,
                           dropout_rng=None, deterministic: bool = True):

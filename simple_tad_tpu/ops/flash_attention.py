@@ -237,6 +237,91 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     return out[:, :N]
 
 
+def _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q):
+    """Packed kernel reading q/k/v DIRECTLY from the fused (B, N, 3C)
+    qkv-GEMM output through three BlockSpecs into one operand.
+
+    Why: Pallas operands must be materialized, so XLA turns the three
+    q/k/v column slices into real copies (~17 GB per ViT-B batch-96 eval
+    batch).  Indexing the original array from the kernel's specs removes
+    them; DMA volume is unchanged (each spec fetches only its blocks).
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    Np = _ceil_to(N, 8)
+    if Np - N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+    bq = _packed_block_q(Np, C, D, block_q)
+    assert bq > 0, "caller gates on _packed_block_q before dispatching here"
+    fuse_l = (D % 128) != 0 and not os.environ.get("SIMPLE_TAD_NO_FUSED_L")
+    int8_qk = bool(os.environ.get("SIMPLE_TAD_INT8_QK"))
+    G = _LANE_GROUP
+    ng = C // G
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_nomax_packed, scale=scale, n_valid=N,
+                          head_dim=D, fuse_l=fuse_l, int8_qk=int8_qk),
+        grid=(B, ng, Np // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, Np, G),
+                         lambda b, g, qi, ng=ng: (b, 0, ng + g)),
+            pl.BlockSpec((1, Np, G),
+                         lambda b, g, qi, ng=ng: (b, 0, 2 * ng + g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+    )(qkv, qkv, qkv)
+    return out[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _flash_core_packed_qkv(qkv, num_heads, scale, block_q):
+    # inference primal: no q/k/v slice copies at all
+    return _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q)
+
+
+def _flash_core_packed_qkv_fwd(qkv, num_heads, scale, block_q):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    tr = lambda t: t.reshape(B, N, H, D).transpose(0, 2, 1, 3).reshape(
+        B * H, N, D)
+    q, k, v = (tr(qkv[:, :, i * C:(i + 1) * C]) for i in range(3))
+    out, lse = _flash_fwd_impl(q, k, v, scale, block_q)
+    return (out.reshape(B, H, N, D).transpose(0, 2, 1, 3).reshape(B, N, C),
+            (q, k, v, out, lse, B))
+
+
+def _flash_core_packed_qkv_bwd(num_heads, scale, block_q, res, do):
+    qt, kt, vt, out, lse, B = res
+    N, D = qt.shape[1:]
+    H = num_heads
+    dot = do.reshape(B, N, H, D).transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    dq, dk, dv = _flash_bwd_impl(qt, kt, vt, out, lse, dot, scale, block_q)
+    back = lambda t: t.reshape(B, H, N, D).transpose(0, 2, 1, 3).reshape(
+        B, N, H * D)
+    return (jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1),)
+
+
+_flash_core_packed_qkv.defvjp(_flash_core_packed_qkv_fwd,
+                              _flash_core_packed_qkv_bwd)
+
+
+def flash_attention_qkv(qkv, *, num_heads: int, scale: float,
+                        block_q: int = 0):
+    """Fused attention straight off the packed qkv-GEMM output.
+
+    qkv: (B, N, 3*C) laid out [q | k | v] in the reference's
+    (3, H, Dh)-major column order (modeling_finetune.py:100-104) ->
+    (B, N, C) attention output.  No dropout (use flash_attention with a
+    mask/seed for that); grads route through the blocked BH-layout
+    backward.
+    """
+    B, N, C3 = qkv.shape
+    return _flash_core_packed_qkv(qkv, num_heads, float(scale), block_q)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_core_packed(q, k, v, num_heads, scale, block_q):
     # inference primal: transpose-free kernel on the (B, N, H*D) layout

@@ -121,3 +121,63 @@ def test_flash_dropout_backward_blocked():
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_dropout_rng_kernels_on_hardware():
+    """Full hardware validation of the in-kernel-PRNG dropout (mask
+    extraction, determinism, fwd/bwd parity).  The TPU PRNG does not
+    exist in interpret mode, so this only runs when the suite is pointed
+    at a real TPU (the CPU suite covers the explicit-mask path)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU (interpret mode has no PRNG)")
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "check_dropout_rng",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "check_dropout_rng.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def test_flash_qkv_direct_matches_sliced():
+    """flash_attention_qkv (block-spec views into the packed qkv array)
+    must equal slicing + flash_attention, forward and backward."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_qkv
+    B, n, H, D = 2, 136, 2, 64
+    C = H * D
+    qkv = jax.random.normal(jax.random.PRNGKey(4), (B, n, 3 * C))
+    scale = D ** -0.5
+
+    def sliced(qkv):
+        q4 = qkv.reshape(B, n, 3, H, D)
+        return flash_attention(q4[:, :, 0], q4[:, :, 1], q4[:, :, 2],
+                               scale=scale).reshape(B, n, C)
+
+    with pltpu.force_tpu_interpret_mode():
+        want = sliced(qkv)
+        got = flash_attention_qkv(qkv, num_heads=H, scale=scale)
+        gw = jax.grad(lambda x: jnp.sum(jnp.sin(sliced(x))))(qkv)
+        gg = jax.grad(lambda x: jnp.sum(jnp.sin(
+            flash_attention_qkv(x, num_heads=H, scale=scale))))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_dispatcher_qkv_fallback_matches_module_math():
+    """dot_product_attention_qkv off-TPU slices and dispatches; equal to
+    the naive reference on the same packed array."""
+    from simple_tad_tpu.ops.attention import (dot_product_attention_qkv,
+                                              _naive_attention)
+    B, n, H, D = 2, 48, 2, 32
+    C = H * D
+    qkv = jax.random.normal(jax.random.PRNGKey(6), (B, n, 3 * C))
+    q4 = qkv.reshape(B, n, 3, H, D)
+    want = _naive_attention(q4[:, :, 0], q4[:, :, 1], q4[:, :, 2],
+                            0.125).reshape(B, n, C)
+    got = dot_product_attention_qkv(qkv, num_heads=H, scale=0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
