@@ -106,8 +106,8 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
             # odd head dims (IV2-1B: 88) stay on XLA: the zero-padded
             # kernel measured SLOWER (41.9 vs 35.7 ms at B8 N2049 H16
             # D88->128 on v5e) — 45% padded-lane waste exceeds the
-            # single-pass win.  Dropout rides the Pallas kernel via an
-            # int8 keep-mask (round 1 fell back to naive here).
+            # single-pass win.  Dropout rides the Pallas kernel via the
+            # in-kernel hardware PRNG (round 1 fell back to naive here).
             impl = "pallas"
         elif dropping:
             impl = "naive"  # XLA fused attention has no dropout

@@ -13,9 +13,17 @@ Backward follows the same shape: a dQ kernel over query blocks and a dK/dV
 kernel over key blocks, each single-pass against the full opposite sequence,
 using the saved per-row logsumexp.
 
-Layout: kernels operate on (B*H, N, Dh); the public wrapper takes/returns
-(B, N, H, Dh).  Sequences are padded to a multiple of 8 sublanes; padded
-keys are masked to -inf (skipped entirely when no padding is needed).
+Layouts (fastest first):
+  * inference primal: PACKED — the kernel reads q/k/v straight from the
+    fused qkv-GEMM output (B, N, 3C) through block-spec views (grid over
+    batch x 128-lane head group x query block), so neither the q/k/v
+    slice copies nor the (B,N,H,D)->(B*H,N,D) relayouts exist
+    (flash_attention_qkv / _flash_core_packed);
+  * training backward + dropout: blocked (B*H, N, Dh) kernels using the
+    saved per-row logsumexp; attention dropout draws keep bits from the
+    TPU hardware PRNG inside fwd/dq/dkv (452 vs 402 ms/step at ViT-B
+    batch-24, vs 844 ms for the materialized-mask fallback).
+Sequences pad to a multiple of 8 sublanes; padded keys mask to -inf.
 Falls back to XLA fused attention for N > MAX_SINGLE_PASS_N.
 """
 
@@ -998,7 +1006,8 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
         testable, but materializes N^2 bytes per head (slow at scale).
       dropout_seed: (1, 2) int32 — keep bits drawn INSIDE the kernels
         from the TPU hardware PRNG; nothing is materialized.  Production
-        training path (402 -> 844 ms/step with masks, ~? with RNG).
+        training path (452 ms/step at ViT-B batch-24 attn_drop 0.1 vs
+        402 without dropout; the mask form costs 844 ms).
     """
     B, N, H, D = q.shape
     if N > MAX_SINGLE_PASS_N:
