@@ -9,7 +9,7 @@ Shapes: q, k, v are (B, N, H, Dh); output (B, N, H, Dh).
 
 from __future__ import annotations
 
-import functools
+
 import os
 from typing import Optional
 
