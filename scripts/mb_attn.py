@@ -35,7 +35,7 @@ GF = 4 * B * Hh * N * N * D / 1e9
 
 def bench(name, env):
     for key in ("SIMPLE_TAD_NO_FUSED_L", "SIMPLE_TAD_INT8_QK",
-                "SIMPLE_TAD_NO_BNHD"):
+                "SIMPLE_TAD_NO_PACKED_ATTN"):
         os.environ.pop(key, None)
     os.environ.update(env)
     import simple_tad_tpu.ops.flash_attention as fa
@@ -61,8 +61,8 @@ def bench(name, env):
           flush=True)
 
 
-bench("base", {"SIMPLE_TAD_NO_FUSED_L": "1", "SIMPLE_TAD_NO_BNHD": "1"})
-bench("fuse_l", {"SIMPLE_TAD_NO_BNHD": "1"})
-bench("int8qk", {"SIMPLE_TAD_INT8_QK": "1", "SIMPLE_TAD_NO_BNHD": "1"})
+bench("base", {"SIMPLE_TAD_NO_FUSED_L": "1", "SIMPLE_TAD_NO_PACKED_ATTN": "1"})
+bench("fuse_l", {"SIMPLE_TAD_NO_PACKED_ATTN": "1"})
+bench("int8qk", {"SIMPLE_TAD_INT8_QK": "1", "SIMPLE_TAD_NO_PACKED_ATTN": "1"})
 bench("bnhd", {})
 bench("bnhd+int8qk", {"SIMPLE_TAD_INT8_QK": "1"})

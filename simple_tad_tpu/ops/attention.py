@@ -76,7 +76,7 @@ def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
     if (impl == "auto" and not dropping
             and jax.default_backend() == "tpu"
             and D % 64 == 0 and N <= MAX_SINGLE_PASS_N
-            and not os.environ.get("SIMPLE_TAD_NO_BNHD")
+            and not os.environ.get("SIMPLE_TAD_NO_PACKED_ATTN")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
             and _packed_block_q(_ceil_to(N, 8), C, D, 0) > 0):
         return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale)

@@ -1014,7 +1014,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
         return jax.nn.dot_product_attention(q, k, v, scale=scale,
                                             implementation="xla")
     dropping = dropout_mask is not None or dropout_seed is not None
-    if (not dropping and not os.environ.get("SIMPLE_TAD_NO_BNHD")
+    if (not dropping and not os.environ.get("SIMPLE_TAD_NO_PACKED_ATTN")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
             and _packed_block_q(_ceil_to(N, 8), H * D, D, block_q) > 0):
         # transpose-free packed layout (inference primal; grad transposes
