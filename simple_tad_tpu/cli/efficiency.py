@@ -41,7 +41,7 @@ def benchmark_model(name: str, *, batches=(1, 8, 32), iters: int = 50,
         # latencies otherwise; see CLAUDE.md trap #1).  Pool bounded to
         # ~4 GB of HBM; iters shrink to the pool rather than recycle.
         buf_bytes = (b * num_frames * input_size * input_size * 3
-                     * np.dtype(np.float32).itemsize // 2)
+                     * jnp.dtype(dtype).itemsize)
         nbuf = int(max(6, min(3 * iters, 4e9 // max(buf_bytes, 1))))
         keys = jax.random.split(jax.random.PRNGKey(1), nbuf + 1)
         bufs = [jax.random.normal(
@@ -87,6 +87,10 @@ def benchmark_train_input(dataset, *, batch_size: int = 24, steps: int = 20,
     loader = TrainLoader(dataset, batch_size, num_threads=num_threads,
                          resize_scale=resize_scale, num_sample=num_sample)
     steps = min(steps, loader.steps_per_epoch())
+    if steps < 1:
+        print(json.dumps({"phase": "train_input", "skipped":
+                          "dataset shorter than one batch"}))
+        return []
     # epoch 0 = cold cache; epoch 1 = steady state (the LRU holds frames
     # shared between overlapping windows)
     rows = []

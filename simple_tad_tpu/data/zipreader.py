@@ -139,9 +139,10 @@ def decode_scaled(zip_path: str, names: Sequence[str], crop_size: int,
     (short side capped at ``short_side_cap`` before computing the factor).
 
     Decoded frames land in the process-wide ``frame_cache`` keyed by
-    (zip, member, crop, scale); only cache misses touch the zip."""
+    (zip, member, crop, scale, cap); only cache misses touch the zip."""
     cache = frame_cache()
-    keys = [(zip_path, n, crop_size, resize_scale) for n in names]
+    keys = [(zip_path, n, crop_size, resize_scale, short_side_cap)
+            for n in names]
     out: List[Optional[np.ndarray]] = [None] * len(names)
     missing = list(range(len(names)))
     if cache is not None:

@@ -325,8 +325,21 @@ def flash_attention_qkv(qkv, *, num_heads: int, scale: float,
     (B, N, C) attention output.  No dropout (use flash_attention with a
     mask/seed for that); grads route through the blocked BH-layout
     backward.
+
+    Unsupported geometry (head dim not dividing 128, channel axis not
+    128-aligned, N beyond the single-pass cap) falls back to slicing
+    q/k/v out and using flash_attention's own dispatch (ADVICE r2: the
+    packed impl asserts otherwise, which -O strips).
     """
     B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    if N > MAX_SINGLE_PASS_N or _packed_block_q(_ceil_to(N, 8), C, D,
+                                                block_q) <= 0:
+        qkv4 = qkv.reshape(B, N, 3, num_heads, D)
+        out = flash_attention(qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2],
+                              scale=scale, block_q=block_q)
+        return out.reshape(B, N, C)
     return _flash_core_packed_qkv(qkv, num_heads, float(scale), block_q)
 
 
