@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from simple_tad_tpu.config import FinetuneConfig
@@ -71,14 +73,51 @@ def main(argv=None):
                       view_step=1, crop_size=cfg.input_size)
     print(f"eval windows: {len(ds)} over {len(clips)} clips")
 
+    # --dist_eval (reference run_frame_finetuning.py:303-314): clips
+    # round-robin over the local devices; across hosts each process scores
+    # its views[rank::world] slice and rank 0 merges the CSV shards.
+    from simple_tad_tpu.parallel import multihost
+    devices = None
+    views = None
+    if cfg.dist_eval:
+        multihost.initialize()
+        local = jax.local_devices()
+        if len(local) > 1:
+            devices = local
+        if jax.process_count() > 1:
+            views = ds.clip_eval_views()[jax.process_index()::
+                                         jax.process_count()]
+
     ev = FrameEvaluator(model, params, batch_size=cfg.batch_size,
                         frame_bucket=cfg.frame_bucket, dtype=dtype,
-                        quant8=cfg.quant8, quant8_mode=cfg.quant8_mode)
-    res = ev.evaluate(ds)
+                        quant8=cfg.quant8, quant8_mode=cfg.quant8_mode,
+                        resize_on_host=cfg.resize_on_host, devices=devices)
+    res = ev.evaluate(ds, views=views, exact_metrics=cfg.exact_metrics)
+
+    nproc = jax.process_count()
+    if nproc > 1 and cfg.output_dir:
+        # per-host shard -> merge on rank 0 -> global metrics everywhere
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        rank = jax.process_index()
+        res.rows.to_csv(os.path.join(cfg.output_dir,
+                                     f"predictions.{rank}.csv"), index=False)
+        from simple_tad_tpu.eval.metrics import binary_metrics
+        gathered = multihost.allgather_metrics({
+            "probs": _softmax_risk(res.rows), "label":
+            res.rows["label"].to_numpy()})
+        probs = np.concatenate(list(np.atleast_2d(gathered["probs"])))
+        labels = np.concatenate(list(np.atleast_2d(gathered["label"])))
+        res.metrics = binary_metrics(probs, labels,
+                                     exact=cfg.exact_metrics)
+        merged = multihost.merge_csv_shards(cfg.output_dir, "predictions",
+                                            nproc)
+        if merged and multihost.is_main_process():
+            import pandas as pd
+            res.rows = pd.read_csv(merged)
     print(f"AUROC {res.metrics.auroc:.4f}  AP {res.metrics.ap:.4f}  "
           f"AUC-MCC {res.metrics.mcc_auc:.4f}  MCC@0.5 {res.metrics.mcc_05:.4f}  "
           f"({res.windows_per_sec:.1f} windows/s)")
-    if cfg.output_dir:
+    if cfg.output_dir and multihost.is_main_process():
         os.makedirs(cfg.output_dir, exist_ok=True)
         res.save(os.path.join(cfg.output_dir, "predictions.csv"),
                  os.path.join(cfg.output_dir, "stats.txt"),
@@ -86,6 +125,12 @@ def main(argv=None):
         cfg.save(os.path.join(cfg.output_dir, "params.json"))
         print(f"wrote {cfg.output_dir}/predictions.csv")
     return res
+
+
+def _softmax_risk(rows):
+    logits = rows[["logits_safe", "logits_risk"]].to_numpy()
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    return (e / e.sum(axis=1, keepdims=True))[:, 1]
 
 
 if __name__ == "__main__":

@@ -97,6 +97,10 @@ class FinetuneConfig:
     frame_bucket: int = 128
     quant8: bool = False      # int8 GEMM inference (see ops/quant.py)
     quant8_mode: str = "static"   # static (calibrated) | dynamic
+    # parity-validation path (VERDICT r2 #4): cv2-exact eval pixels
+    # (reference dota.py:346-347) and exact (non-binned) sklearn metrics
+    resize_on_host: bool = False
+    exact_metrics: bool = False
 
     def save(self, path: str):
         with open(path, "w") as f:

@@ -69,7 +69,7 @@ class FrameEvaluator:
                  frame_bucket: int = 128, dtype=jnp.bfloat16,
                  resize_on_host: bool = False, fold_norm: bool = True,
                  quant8: bool = False, quant8_mode: str = "static",
-                 mean=None, std=None):
+                 mean=None, std=None, devices=None):
         if quant8:
             if quant8_mode not in ("static", "dynamic"):
                 raise ValueError(
@@ -100,6 +100,13 @@ class FrameEvaluator:
             from simple_tad_tpu.utils.fold_norm import fold_normalization
             params = fold_normalization(params, self.mean, self.std)
         self.params = jax.device_put(params)
+        # clip-parallel multi-device eval (the reference's --dist_eval,
+        # run_frame_finetuning.py:303-314, re-done device-local): clips
+        # round-robin over ``devices``, params replicated once per device,
+        # every pipeline stage pinned via committed arrays.  None keeps
+        # the single default-device behavior.
+        self.devices = list(devices) if devices else [None]
+        self._params_by_slot = self._replicate_params()
 
         @functools.partial(jax.jit, static_argnames=())
         def _score(params, frames_u8, window_idx):
@@ -124,13 +131,21 @@ class FrameEvaluator:
 
         self._score = _score
 
-    def _device_frames(self, frames: np.ndarray) -> Tuple[jnp.ndarray, int]:
+    def _replicate_params(self):
+        if self.devices == [None]:
+            return [self.params]
+        return [jax.device_put(self.params, d) for d in self.devices]
+
+    def _device_frames(self, frames: np.ndarray, device=None
+                       ) -> Tuple[jnp.ndarray, int]:
         f = frames.shape[0]
         f_pad = _ceil_to(max(f, 1), self.frame_bucket)
         if f_pad != f:
             frames = np.concatenate(
                 [frames, np.zeros((f_pad - f,) + frames.shape[1:],
                                   frames.dtype)])
+        if device is not None:
+            return jax.device_put(frames, device), f
         return jnp.asarray(frames), f
 
     def calibrate(self, dataset: FrameDataset, n_views: int = 2,
@@ -172,17 +187,22 @@ class FrameEvaluator:
         amax = calibrate_act_amax(calib_model, self.params, batches,
                                   deterministic=True)
         self.params = apply_act_amax(self.params, amax)
+        self._params_by_slot = self._replicate_params()
         self._calibrated = True
 
-    def score_view_async(self, dataset: FrameDataset, view: ClipEvalView):
-        """Dispatch all window chunks of one clip; -> list of (device
-        logits, valid_count).  Dispatch-then-fetch keeps the device busy
-        and hides per-call host latency (do NOT fetch between chunks)."""
+    def score_view_async(self, dataset: FrameDataset, view: ClipEvalView,
+                         slot: int = 0):
+        """Dispatch all window chunks of one clip on device ``slot``;
+        -> list of (device logits, valid_count).  Dispatch-then-fetch
+        keeps the device busy and hides per-call host latency (do NOT
+        fetch between chunks)."""
         if not self._calibrated:
             self.calibrate(dataset)
+        device = self.devices[slot % len(self.devices)]
+        params = self._params_by_slot[slot % len(self.devices)]
         frames = dataset.decode_clip_frames(
             view, resize_on_host=self.resize_on_host)
-        dev_frames, _ = self._device_frames(frames)
+        dev_frames, _ = self._device_frames(frames, device)
         W = view.window_idx.shape[0]
         B = self.batch_size
         pending = []
@@ -193,8 +213,9 @@ class FrameEvaluator:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - valid, chunk.shape[1]),
                                      chunk.dtype)])
-            pending.append((self._score(self.params, dev_frames,
-                                        jnp.asarray(chunk)), valid))
+            chunk = (jax.device_put(chunk, device) if device is not None
+                     else jnp.asarray(chunk))
+            pending.append((self._score(params, dev_frames, chunk), valid))
         return pending
 
     @staticmethod
@@ -207,10 +228,17 @@ class FrameEvaluator:
         """-> (W, num_classes) float32 logits for all windows of one clip."""
         return self.gather_async(self.score_view_async(dataset, view))
 
-    def evaluate(self, dataset: FrameDataset, *, exact_metrics: bool = False
-                 ) -> EvalResult:
+    def evaluate(self, dataset: FrameDataset, *, exact_metrics: bool = False,
+                 views: Optional[List[ClipEvalView]] = None) -> EvalResult:
+        """Score every window of every eval view.
+
+        ``views``: restrict to an explicit subset (multi-host sharding:
+        each process passes its ``views[rank::world]`` slice and merges
+        CSV shards afterwards — cli/eval_frames.py --dist_eval).
+        """
         import pandas as pd
-        views = dataset.clip_eval_views()
+        if views is None:
+            views = dataset.clip_eval_views()
         if not self._calibrated:
             self.calibrate(dataset, views=views)
         rows: Dict[str, list] = {k: [] for k in
@@ -218,23 +246,32 @@ class FrameEvaluator:
                                   "logits_risk", "label", "ttc")}
         t0 = time.perf_counter()
         n_windows = 0
-        # software pipeline: while clip k's chunks run on device, decode and
-        # dispatch clip k+1; fetch k's logits afterwards.
-        prev = None   # (view, pending)
-        for view in views + [None]:
-            pending = (self.score_view_async(dataset, view)
-                       if view is not None else None)
-            if prev is not None:
-                pview, ppending = prev
-                logits = self.gather_async(ppending)
-                n_windows += logits.shape[0]
-                rows["clip"].extend([pview.clip.name] * logits.shape[0])
-                rows["filename"].extend(pview.frame_names)
-                rows["logits_safe"].extend(logits[:, 0].tolist())
-                rows["logits_risk"].extend(logits[:, 1].tolist())
-                rows["label"].extend(pview.labels.tolist())
-                rows["ttc"].extend(np.asarray(pview.ttc).tolist())
-            prev = (view, pending) if view is not None else None
+        # software pipeline: while clip k's chunks run, decode and dispatch
+        # the next clips (one slot per device; clips round-robin over
+        # devices), then fetch the oldest.  Fetch order == dispatch order,
+        # so row order (and the CSV) is device-count independent.
+        from collections import deque
+        inflight: "deque" = deque()   # (view, pending)
+
+        def _drain_one():
+            nonlocal n_windows
+            pview, ppending = inflight.popleft()
+            logits = self.gather_async(ppending)
+            n_windows += logits.shape[0]
+            rows["clip"].extend([pview.clip.name] * logits.shape[0])
+            rows["filename"].extend(pview.frame_names)
+            rows["logits_safe"].extend(logits[:, 0].tolist())
+            rows["logits_risk"].extend(logits[:, 1].tolist())
+            rows["label"].extend(pview.labels.tolist())
+            rows["ttc"].extend(np.asarray(pview.ttc).tolist())
+
+        for i, view in enumerate(views):
+            inflight.append((view, self.score_view_async(dataset, view,
+                                                         slot=i)))
+            while len(inflight) > len(self.devices):
+                _drain_one()
+        while inflight:
+            _drain_one()
         elapsed = time.perf_counter() - t0
 
         df = pd.DataFrame(rows)

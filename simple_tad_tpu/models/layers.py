@@ -87,9 +87,14 @@ class LayerNormFp32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         x32 = x.astype(jnp.float32)
+        if os.environ.get("SIMPLE_TAD_ABLATE_LN"):
+            # measurement knob: affine only, no mean/var passes
+            return (x32 * scale.astype(jnp.float32)
+                    + bias.astype(jnp.float32)).astype(self.dtype)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
@@ -180,6 +185,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        import os
+        if os.environ.get("SIMPLE_TAD_ABLATE_MLP"):
+            return x   # measurement knob: whole-MLP cost via A/B delta
         if self.quant:
             fc1 = QuantDense(self.dim, self.hidden_dim, mode=self.quant_mode,
                              out_dtype=self.dtype, name="fc1")
@@ -270,6 +278,16 @@ class Attention(nn.Module):
                              reduce_fn=jnp.maximum,
                              init_fn=lambda: jnp.zeros(()))
                 qkv = int8_matmul(x, qkv_q, qkv_s).astype(self.dtype)
+            if self.quant_mode == "calib":
+                # per-head q/k/v absmax (post-bias) for the int8 static
+                # attention kernel (ops/flash_attention.py int8 path)
+                q3 = (qkv + (qkv_bias_vec.astype(qkv.dtype)
+                             if qkv_bias_vec is not None else 0.0))
+                q3 = jnp.abs(q3.astype(jnp.float32)).reshape(
+                    B, N, 3, self.num_heads, head_dim)
+                self.sow("calib", "qkv_amax", jnp.max(q3, axis=(0, 1, 4)),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((3, self.num_heads)))
         else:
             qkv_kernel = self.param("qkv_kernel", trunc_normal_init(0.02),
                                     (C, 3 * all_head_dim))
@@ -281,11 +299,32 @@ class Attention(nn.Module):
         dropout_rng = None
         if self.attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
-        from simple_tad_tpu.ops.attention import dot_product_attention_qkv
-        out = dot_product_attention_qkv(
-            qkv, num_heads=self.num_heads, scale=scale, impl=self.attn_impl,
-            dropout_rate=self.attn_drop, dropout_rng=dropout_rng,
-            deterministic=deterministic)
+        from simple_tad_tpu.ops.attention import (dot_product_attention_qkv,
+                                                  int8_attn_supported)
+        if (self.quant and self.quant_mode == "static"
+                and dropout_rng is None and self.attn_impl == "auto"
+                and int8_attn_supported(N, all_head_dim, self.num_heads)):
+            # int8 static attention (VERDICT r2 #1a): per-layer per-head
+            # calibrated scales quantize q/k/v once in the qkv GEMM's
+            # epilogue; both attention matmuls then run s8xs8 on the MXU
+            # and the kernel reads qkv at half the HBM traffic.
+            from simple_tad_tpu.ops.flash_attention import (
+                flash_attention_qkv_int8)
+            amax3h = self.param("qkv_amax", nn.initializers.ones,
+                                (3, self.num_heads))
+            inv = 127.0 / jnp.maximum(amax3h, 1e-12)
+            inv_vec = jnp.repeat(inv.reshape(-1), head_dim,
+                                 total_repeat_length=3 * all_head_dim)
+            qkv_i8 = jnp.clip(jnp.round(qkv.astype(jnp.float32) * inv_vec),
+                              -127, 127).astype(jnp.int8)
+            out = flash_attention_qkv_int8(
+                qkv_i8, amax3h, num_heads=self.num_heads,
+                scale=scale).astype(self.dtype)
+        else:
+            out = dot_product_attention_qkv(
+                qkv, num_heads=self.num_heads, scale=scale,
+                impl=self.attn_impl, dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng, deterministic=deterministic)
 
         if self.quant:
             out = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,

@@ -51,6 +51,29 @@ def _xla_attention(q, k, v, scale):
                                         implementation="xla")
 
 
+def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
+    """Can the static-calibrated int8 attention kernel serve this geometry?
+
+    Requires the packed layout (head_dim divides 128, channel axis
+    128-aligned, N within the single-pass cap) and free MXU lanes for the
+    ones-column denominator (head_dim % 128 != 0 — true for every Dh=64
+    model here).  TPU-only by default; SIMPLE_TAD_FORCE_INT8_ATTN=1
+    enables off-TPU for interpret-mode tests, SIMPLE_TAD_NO_INT8_ATTN=1
+    kills it everywhere (serving fall-back to the bf16 kernel).
+    """
+    from simple_tad_tpu.ops.flash_attention import (MAX_SINGLE_PASS_N,
+                                                    _ceil_to,
+                                                    _packed_block_q)
+    if os.environ.get("SIMPLE_TAD_NO_INT8_ATTN"):
+        return False
+    if not (jax.default_backend() == "tpu"
+            or os.environ.get("SIMPLE_TAD_FORCE_INT8_ATTN")):
+        return False
+    D = C // num_heads
+    return (N <= MAX_SINGLE_PASS_N and D % 128 != 0
+            and _packed_block_q(_ceil_to(N, 8), C, D, 0) > 0)
+
+
 def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
                               impl: str = "auto", dropout_rate: float = 0.0,
                               dropout_rng=None, deterministic: bool = True):
@@ -72,6 +95,13 @@ def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
     B, N, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads
+    if os.environ.get("SIMPLE_TAD_ABLATE_ATTN"):
+        # measurement knob: zero-FLOP stand-in that still reads every qkv
+        # column (so XLA cannot narrow the producer GEMM) — the full-vs-
+        # this delta is the attention-core cost in a whole-model A/B.
+        third = jnp.asarray(1.0 / 3.0, qkv.dtype)
+        return (qkv[:, :, :C] + qkv[:, :, C:2 * C]
+                + qkv[:, :, 2 * C:]) * third
     dropping = dropout_rate > 0.0 and not deterministic
     if (impl == "auto" and not dropping
             and jax.default_backend() == "tpu"

@@ -283,6 +283,97 @@ def _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q):
     return out[:, :N]
 
 
+# ------------------------------------------------- int8 static attention ---
+# VERDICT r2 #1a: the rejected SIMPLE_TAD_INT8_QK experiment paid per-tile
+# *dynamic* absmax on the VPU (318.6 vs 325.3 w/s); static PTQ calibration
+# removes exactly that cost, the same way it did for the GEMMs.  Here the
+# whole attention core runs int8 on the MXU: the kernel reads the packed
+# (B, N, 3C) qkv in int8 (halving its HBM traffic), the score matmul is
+# s8xs8->s32 at the MXU's 2x int8 rate, probs quantize to 1/127 steps
+# after a max-subtracted softmax (the max pass is REQUIRED here — without
+# normalization exp2 overflows the int8 probs), and the PV matmul runs
+# int8 with the denominator riding a ones-column (value 1: l = sum p_i8,
+# and out = sv * o_i32 / l_i32 — the 127s cancel).
+#
+# Scales are per layer per head: amax (3, H) f32 in SMEM, calibrated by
+# the 'calib' forward (models/layers.py sows qkv_amax) and written into
+# the param tree by ops.quant.apply_act_amax.
+
+def _fwd_kernel_int8_packed(amax_ref, q_ref, k_ref, v_ref, o_ref, *,
+                            scale, n_valid, head_dim):
+    g = pl.program_id(1)
+    q = q_ref[0]                                     # (Bq, G) int8
+    k = k_ref[0]                                     # (Np, G) int8
+    v = v_ref[0]
+    G = q.shape[-1]
+    D = head_dim
+    Np = k.shape[0]
+    for h in range(G // D):
+        head = g * (G // D) + h
+        sl = slice(h * D, (h + 1) * D)
+        sq = amax_ref[0, head] * (1.0 / 127.0)
+        sk = amax_ref[1, head] * (1.0 / 127.0)
+        sv = amax_ref[2, head] * (1.0 / 127.0)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        s = s.astype(jnp.float32) * (sq * sk * scale * LOG2E)
+        if n_valid < Np:
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p_i8 = jnp.round(jnp.exp2(s - m) * 127.0).astype(jnp.int8)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Np, 128 - D % 128), 1)
+        ones_col = (col == 0).astype(jnp.int8)
+        v_aug = jnp.concatenate([v[:, sl], ones_col], axis=1)
+        o_full = jax.lax.dot_general(
+            p_i8, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # (Bq, 128)
+        o = o_full[:, :D].astype(jnp.float32)
+        l = o_full[:, D:D + 1].astype(jnp.float32)
+        o_ref[0, :, sl] = (o / l * sv).astype(o_ref.dtype)
+
+
+def flash_attention_qkv_int8(qkv_i8, amax, *, num_heads: int, scale: float,
+                             block_q: int = 0):
+    """Inference attention on int8-quantized packed qkv (B, N, 3C).
+
+    qkv_i8: per-head symmetric int8 (column order [q | k | v], head-major
+    within each); amax: (3, num_heads) f32 calibrated absmax (value i8 *
+    amax/127 recovers the real activation).  Output bf16/f32 per qkv's
+    promoted float dtype is chosen by the caller via out_dtype — here
+    fixed bf16 (the serving dtype).  Requires the packed-layout geometry
+    (head_dim | 128, C % 128 == 0); callers gate via int8-attention
+    support checks in ops/attention.py.
+    """
+    B, N, C3 = qkv_i8.shape
+    C = C3 // 3
+    D = C // num_heads
+    Np = _ceil_to(N, 8)
+    if Np - N:
+        qkv_i8 = jnp.pad(qkv_i8, ((0, 0), (0, Np - N), (0, 0)))
+    bq = _packed_block_q(Np, C, D, block_q)
+    assert bq > 0, "caller gates on int8-attn support before dispatch"
+    G = _LANE_GROUP
+    ng = C // G
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_int8_packed, scale=float(scale),
+                          n_valid=N, head_dim=D),
+        grid=(B, ng, Np // bq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, Np, G),
+                         lambda b, g, qi, ng=ng: (b, 0, ng + g)),
+            pl.BlockSpec((1, Np, G),
+                         lambda b, g, qi, ng=ng: (b, 0, 2 * ng + g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.bfloat16),
+    )(amax.astype(jnp.float32), qkv_i8, qkv_i8, qkv_i8)
+    return out[:, :N]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _flash_core_packed_qkv(qkv, num_heads, scale, block_q):
     # inference primal: no q/k/v slice copies at all

@@ -120,3 +120,48 @@ def test_device_resize_close_to_host_resize(dota_root, tiny_model):
                          resize_on_host=False).score_view(ds, view)
     # cv2 vs XLA bicubic: logits should agree closely on natural frames
     assert np.abs(host - dev).max() < 0.05
+
+
+def test_multi_device_eval_identical(dota_root, tiny_model, tmp_path):
+    """VERDICT r2 #2 'done' criterion: clip-parallel eval over the
+    8-virtual-device CPU mesh writes a byte-identical predictions.csv to
+    the single-device run."""
+    model, params = tiny_model
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+
+    one = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32)
+    res1 = one.evaluate(ds)
+    p1 = tmp_path / "pred_1dev.csv"
+    res1.rows.to_csv(p1, index=False)
+
+    assert len(jax.devices()) >= 2, "conftest provides 8 CPU devices"
+    many = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                          dtype=jnp.float32, devices=jax.devices())
+    res8 = many.evaluate(ds)
+    p8 = tmp_path / "pred_8dev.csv"
+    res8.rows.to_csv(p8, index=False)
+
+    assert p1.read_bytes() == p8.read_bytes()
+    assert res1.metrics.auroc == res8.metrics.auroc
+
+
+def test_multi_host_view_sharding_covers_all(dota_root, tiny_model):
+    """views[rank::world] slices partition the dataset: the union of the
+    per-rank evaluate() rows equals the full run's rows."""
+    import pandas as pd
+    model, params = tiny_model
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    ev = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                        dtype=jnp.float32)
+    full = ev.evaluate(ds).rows
+    views = ds.clip_eval_views()
+    parts = [ev.evaluate(ds, views=views[r::2]).rows for r in range(2)]
+    merged = pd.concat(parts, ignore_index=True).sort_values(
+        ["clip", "filename"]).reset_index(drop=True)
+    want = full.sort_values(["clip", "filename"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, want)

@@ -181,3 +181,70 @@ def test_dispatcher_qkv_fallback_matches_module_math():
     got = dot_product_attention_qkv(qkv, num_heads=H, scale=0.125)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def _emulate_int8_attention(qkv_i8, amax, num_heads, scale):
+    """Float emulation of the int8 static attention kernel's exact math
+    (including the 1/127-step probs quantization and the self-normalizing
+    int32 denominator)."""
+    B, N, C3 = qkv_i8.shape
+    C = C3 // 3
+    D = C // num_heads
+    q8 = qkv_i8[:, :, :C].astype(np.int32)
+    k8 = qkv_i8[:, :, C:2 * C].astype(np.int32)
+    v8 = qkv_i8[:, :, 2 * C:].astype(np.int32)
+    out = np.zeros((B, N, C), np.float32)
+    for h in range(num_heads):
+        sl = slice(h * D, (h + 1) * D)
+        sq = amax[0, h] / 127.0
+        sk = amax[1, h] / 127.0
+        sv = amax[2, h] / 127.0
+        s = np.einsum("bnd,bmd->bnm", q8[:, :, sl], k8[:, :, sl])
+        s = s.astype(np.float32) * (sq * sk * scale)
+        m = s.max(axis=-1, keepdims=True)
+        p8 = np.round(np.exp2((s - m) * 1.4426950408889634) * 127.0)
+        o = np.einsum("bnm,bmd->bnd", p8, v8[:, :, sl]).astype(np.float32)
+        l = p8.sum(axis=-1, keepdims=True).astype(np.float32)
+        out[:, :, sl] = o / l * sv
+    return out
+
+
+def test_int8_qkv_kernel_matches_emulation():
+    from simple_tad_tpu.ops.flash_attention import flash_attention_qkv_int8
+    rng = np.random.default_rng(0)
+    B, N, H, D = 2, 256, 2, 64
+    C = H * D
+    qkv_i8 = jnp.asarray(rng.integers(-127, 128, (B, N, 3 * C), np.int8))
+    amax = jnp.asarray(rng.uniform(0.5, 4.0, (3, H)).astype(np.float32))
+    scale = D ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_qkv_int8(qkv_i8, amax, num_heads=H,
+                                       scale=scale)
+    want = _emulate_int8_attention(np.asarray(qkv_i8), np.asarray(amax),
+                                   H, scale)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.02 * np.abs(want).max(), rtol=0.02)
+
+
+def test_int8_attention_close_to_fp():
+    """End-to-end int8 path (quantize + kernel) tracks full-precision
+    attention within PTQ noise at realistic activation scales."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_qkv_int8
+    rng = np.random.default_rng(1)
+    B, N, H, D = 2, 512, 2, 64
+    C = H * D
+    qkv = rng.normal(0.0, 1.0, (B, N, 3 * C)).astype(np.float32)
+    scale = D ** -0.5
+    # per-head symmetric quantization with exact per-head amax
+    amax = np.abs(qkv.reshape(B, N, 3, H, D)).max(axis=(0, 1, 4))
+    inv = np.repeat((127.0 / amax).reshape(-1), D)
+    qkv_i8 = np.clip(np.round(qkv * inv), -127, 127).astype(np.int8)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention_qkv_int8(
+            jnp.asarray(qkv_i8), jnp.asarray(amax.astype(np.float32)),
+            num_heads=H, scale=scale), np.float32)
+    q, k, v = (jnp.asarray(qkv[:, :, i * C:(i + 1) * C]).reshape(B, N, H, D)
+               for i in range(3))
+    want = np.asarray(_naive_attention(q, k, v, scale)).reshape(B, N, C)
+    err = np.abs(got - want).max()
+    assert err < 0.06 * np.abs(want).max() + 0.02, err
