@@ -68,8 +68,24 @@ def bench_model(name, batches, quant, rng, stream_latency=False):
         model, params = quantize_and_calibrate(model, params, [xcal],
                                                deterministic=True)
 
+    tb = model.cfg.tubelet_size
+    use_tokens = not os.environ.get("SIMPLE_TAD_NO_TUBELET_PRECOMPUTE")
+
     @jax.jit
     def score(p, frames_u8, window_idx):
+        if use_tokens:
+            # embed each unique frame once (half-kernel tubelet trick,
+            # eval/engine.py) and gather token embeddings per window —
+            # sliding windows share 15/16 frames with their neighbors
+            from simple_tad_tpu.eval.engine import half_kernel_tokens
+            pe = p["patch_embed"]
+            toks = half_kernel_tokens(frames_u8.astype(jnp.bfloat16),
+                                      pe["kernel"], pe["bias"], 16, tb, 1,
+                                      jnp.bfloat16)
+            g = jnp.take(toks, window_idx[:, ::tb], axis=0)
+            x = g.reshape(g.shape[0], -1, toks.shape[-1])
+            return model.apply({"params": p}, x, deterministic=True,
+                               tokens_input=True).astype(jnp.float32)
         windows = jnp.take(frames_u8, window_idx, axis=0).astype(jnp.bfloat16)
         return model.apply({"params": p}, windows,
                            deterministic=True).astype(jnp.float32)

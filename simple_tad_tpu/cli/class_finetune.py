@@ -54,6 +54,13 @@ def get_args(argv=None):
     p.add_argument("--test_num_segment", type=int, default=5)
     p.add_argument("--test_num_crop", type=int, default=3)
     p.add_argument("--finetune", default="")
+    # probing (run_linear_probing.py:548-573): freeze the trunk except the
+    # last open_block_num blocks; the attention-pooling projector stays
+    # frozen unless --open_clip_projector.  --freeze takes a raw
+    # train/optim.freeze_mask_tree spec for anything fancier.
+    p.add_argument("--open_block_num", type=int, default=None)
+    p.add_argument("--open_clip_projector", action="store_true")
+    p.add_argument("--freeze", default="")
     p.add_argument("--output_dir", default="")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -81,7 +88,7 @@ def main(argv=None):
     from simple_tad_tpu.train.steps import TrainState, make_finetune_train_step
     from simple_tad_tpu.utils import checkpoint as ckpt_utils
     from simple_tad_tpu.utils.logging import MetricLogger
-    from simple_tad_tpu.utils.torch_convert import load_vit_checkpoint
+    from simple_tad_tpu.utils.torch_convert import load_checkpoint_auto
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = st.create_model(args.model, num_classes=args.nb_classes,
@@ -91,7 +98,7 @@ def main(argv=None):
                             attn_impl=args.attn_impl)
     params = model.init_params(jax.random.PRNGKey(args.seed))
     if args.finetune:
-        params = load_vit_checkpoint(args.finetune, model, params)
+        params = load_checkpoint_auto(args.finetune, model, params)
 
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
@@ -170,10 +177,15 @@ def main(argv=None):
     lr = args.lr * global_batch / 256.0
     lr_sched = O.cosine_scheduler(lr, args.min_lr, args.epochs, steps,
                                   warmup_epochs=args.warmup_epochs)
+    freeze = args.freeze
+    if args.open_block_num is not None:
+        freeze = (f"probe;{args.open_block_num};"
+                  f"{int(args.open_clip_projector)}")
     tx = O.create_optimizer(params, lr_schedule=O.array_schedule(lr_sched),
                             weight_decay=args.weight_decay,
                             layer_decay=args.layer_decay,
-                            depth=model.cfg.depth, clip_grad=args.clip_grad)
+                            depth=model.cfg.depth, clip_grad=args.clip_grad,
+                            freeze_layers=freeze or None)
     step_fn = make_finetune_train_step(model, tx, criterion)
     state = replicate(
         TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1)))

@@ -37,6 +37,42 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def half_kernel_tokens(frames, kernel, bias, patch: int, tubelet: int,
+                       step: int, dtype):
+    """Embed every unique frame ONCE for sliding-window serving.
+
+    The tubelet patch-embed kernel (tb*p*p*c, D) splits along its t-major
+    rows into per-frame half-kernels, so token(pair i) = patches_i @ k0 +
+    patches_{i+step} @ k1 + bias — each frame runs through both halves
+    once instead of once per window that contains it (a window shares
+    15/16 frames with its neighbor; the pixel-gather path re-embedded
+    every frame up to 16 times AND materialized (B, 16, 224, 224, 3)
+    windows; measured 26.7 ms of a 224 ms ViT-B int8 batch-96 program).
+
+    frames: (F, H, W, C) float; -> (F - step*(tubelet-1), P, D) tokens
+    where P = (H/p)*(W/p); row i embeds the tubelet whose first frame is
+    i (step = the sequencer's fps decimation stride between window
+    slots).
+    """
+    F, H, W, C = frames.shape
+    p = patch
+    nh, nw = H // p, W // p
+    pat = frames.reshape(F, nh, p, nw, p, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(F, nh * nw, p * p * C).astype(dtype)
+    if tubelet == 1:
+        toks = jnp.dot(pat, kernel.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        return (toks + bias.astype(jnp.float32)).astype(dtype)
+    assert tubelet == 2, "video ViT family uses tubelet 1 or 2"
+    half = p * p * C
+    u = jnp.dot(pat, kernel[:half].astype(dtype),
+                preferred_element_type=jnp.float32)
+    w = jnp.dot(pat, kernel[half:].astype(dtype),
+                preferred_element_type=jnp.float32)
+    toks = u[:F - step] + w[step:] + bias.astype(jnp.float32)
+    return toks.astype(dtype)
+
+
 @dataclasses.dataclass
 class EvalResult:
     rows: "Any"                  # pandas DataFrame (clip, frame, logits, ...)
@@ -69,7 +105,8 @@ class FrameEvaluator:
                  frame_bucket: int = 128, dtype=jnp.bfloat16,
                  resize_on_host: bool = False, fold_norm: bool = True,
                  quant8: bool = False, quant8_mode: str = "static",
-                 mean=None, std=None, devices=None):
+                 mean=None, std=None, devices=None,
+                 precompute_tubelets: bool = True):
         if quant8:
             if quant8_mode not in ("static", "dynamic"):
                 raise ValueError(
@@ -130,6 +167,48 @@ class FrameEvaluator:
             return logits.astype(jnp.float32)
 
         self._score = _score
+        from simple_tad_tpu.models.vit import VisionTransformer
+        self.precompute_tubelets = (
+            precompute_tubelets and isinstance(model, VisionTransformer)
+            and model.cfg.tubelet_size in (1, 2)
+            and not os.environ.get("SIMPLE_TAD_NO_TUBELET_PRECOMPUTE"))
+        self._score_by_step: Dict[int, Any] = {}
+
+    def _token_score(self, step: int):
+        """Per-fps-step jit of the token-gather serving path: embed each
+        unique frame once (half_kernel_tokens) and gather (B, T/tb, P, D)
+        token embeddings per window instead of pixels."""
+        fn = self._score_by_step.get(step)
+        if fn is not None:
+            return fn
+        crop, dtype = self.crop, self.dtype
+        p_sz = self.model.cfg.patch_size
+        tb = self.model.cfg.tubelet_size
+
+        @jax.jit
+        def _score_tok(params, frames_u8, window_idx):
+            if not self.resize_on_host:
+                frames = jnp.clip(
+                    image_ops.resize_bicubic(frames_u8, (crop, crop)),
+                    0.0, 255.0)
+            else:
+                frames = frames_u8
+            if self.fold_norm:
+                frames = frames.astype(dtype)
+            else:
+                frames = image_ops.normalize(frames, self.mean, self.std,
+                                             dtype=dtype)
+            pe = params["patch_embed"]
+            toks = half_kernel_tokens(frames, pe["kernel"], pe["bias"],
+                                      p_sz, tb, step, dtype)
+            g = jnp.take(toks, window_idx[:, ::tb], axis=0)
+            x = g.reshape(g.shape[0], -1, toks.shape[-1])
+            logits = self.model.apply({"params": params}, x,
+                                      deterministic=True, tokens_input=True)
+            return logits.astype(jnp.float32)
+
+        self._score_by_step[step] = _score_tok
+        return _score_tok
 
     def _replicate_params(self):
         if self.devices == [None]:
@@ -205,6 +284,11 @@ class FrameEvaluator:
         dev_frames, _ = self._device_frames(frames, device)
         W = view.window_idx.shape[0]
         B = self.batch_size
+        score = self._score
+        if self.precompute_tubelets and view.window_idx.shape[1] >= 2:
+            step = int(view.window_idx[0, 1] - view.window_idx[0, 0])
+            if step > 0:
+                score = self._token_score(step)
         pending = []
         for s in range(0, W, B):
             chunk = view.window_idx[s:s + B]
@@ -215,7 +299,7 @@ class FrameEvaluator:
                                      chunk.dtype)])
             chunk = (jax.device_put(chunk, device) if device is not None
                      else jnp.asarray(chunk))
-            pending.append((self._score(params, dev_frames, chunk), valid))
+            pending.append((score(params, dev_frames, chunk), valid))
         return pending
 
     @staticmethod

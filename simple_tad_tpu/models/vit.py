@@ -114,12 +114,20 @@ class VisionTransformer(nn.Module):
             x = blk_i(x, dpr[i], deterministic)
         return x
 
-    def _forward_features(self, x, deterministic: bool = True):
+    def _forward_features(self, x, deterministic: bool = True,
+                          tokens_input: bool = False):
         cfg = self.cfg
-        tokens = PatchEmbed(
-            embed_dim=cfg.embed_dim, patch_size=cfg.patch_size,
-            tubelet_size=cfg.tubelet_size, in_chans=cfg.in_chans,
-            dtype=cfg.dtype, name="patch_embed")(x)
+        if tokens_input:
+            # serving fast path: x is pre-embedded (B, num_patches, D)
+            # tokens (eval/engine.py embeds each unique frame ONCE via the
+            # half-kernel tubelet trick and gathers token embeddings
+            # instead of pixels — sliding windows share 15/16 frames)
+            tokens = x.astype(cfg.dtype)
+        else:
+            tokens = PatchEmbed(
+                embed_dim=cfg.embed_dim, patch_size=cfg.patch_size,
+                tubelet_size=cfg.tubelet_size, in_chans=cfg.in_chans,
+                dtype=cfg.dtype, name="patch_embed")(x)
 
         if cfg.use_learnable_pos_emb:
             pos = self.param("pos_embed", trunc_normal_init(0.02),
@@ -170,9 +178,10 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 features_only: bool = False):
-        """x: (B, T, H, W, C) normalized video -> (B, num_classes) logits."""
-        feats = self._forward_features(x, deterministic)
+                 features_only: bool = False, tokens_input: bool = False):
+        """x: (B, T, H, W, C) normalized video -> (B, num_classes) logits.
+        With tokens_input=True, x is pre-embedded (B, num_patches, D)."""
+        feats = self._forward_features(x, deterministic, tokens_input)
         if features_only:
             return feats
         cfg = self.cfg

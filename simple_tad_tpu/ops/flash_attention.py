@@ -322,16 +322,18 @@ def _fwd_kernel_int8_packed(amax_ref, q_ref, k_ref, v_ref, o_ref, *,
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(kv_idx < n_valid, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
-        p_i8 = jnp.round(jnp.exp2(s - m) * 127.0).astype(jnp.int8)
-        col = jax.lax.broadcasted_iota(jnp.int32, (Np, 128 - D % 128), 1)
-        ones_col = (col == 0).astype(jnp.int8)
-        v_aug = jnp.concatenate([v[:, sl], ones_col], axis=1)
-        o_full = jax.lax.dot_general(
-            p_i8, v_aug, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)        # (Bq, 128)
-        o = o_full[:, :D].astype(jnp.float32)
-        l = o_full[:, D:D + 1].astype(jnp.float32)
-        o_ref[0, :, sl] = (o / l * sv).astype(o_ref.dtype)
+        p_q = jnp.round(jnp.exp2(s - m) * 127.0)     # fp32, values in [0,127]
+        # denominator as an fp32 row sum of the QUANTIZED probs (exact:
+        # sums of <=127 over N=1568 stay under 2^24) — NOT the bf16
+        # kernel's ones-column trick: at Dh=64 the augmented PV doubles
+        # the matmul width, which at the int8 2x rate cancels the whole
+        # MXU saving (measured 404.9 vs 429 w/s e2e with the ones-column)
+        l = jnp.sum(p_q, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p_q.astype(jnp.int8), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # (Bq, D)
+        o_ref[0, :, sl] = (o.astype(jnp.float32) / l * sv).astype(
+            o_ref.dtype)
 
 
 def flash_attention_qkv_int8(qkv_i8, amax, *, num_heads: int, scale: float,

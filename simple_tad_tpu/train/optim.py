@@ -181,12 +181,38 @@ def scale_lr_by_batch(base_lr: float, total_batch_size: int) -> float:
 
 
 def freeze_mask_tree(params, freeze_layers: Optional[str], depth: int):
-    """Update-multiplier pytree implementing --freeze_layers
-    (run_frame_finetuning.py:465-485): 'first N blocks;K' zeroes updates
-    for patch_embed, pos/cls embeddings and the first K blocks (per-layer
-    vector over the scanned stack); everything else trains."""
+    """Update-multiplier pytree implementing --freeze_layers.
+
+    'first N blocks;K' (run_frame_finetuning.py:465-485): zero updates for
+    patch_embed, pos/cls embeddings and the first K blocks (per-layer
+    vector over the scanned stack); everything else trains.
+
+    'probe;K;P' (linear / attentive probing,
+    other_models/InternVideo2_single_modality/run_linear_probing.py:548-573):
+    freeze embeds and every block except the LAST K (open_block_num); the
+    attention-pooling head ('clip_projector') is frozen unless P is 1
+    (--open_clip_projector).  fc_norm and the classifier head always train.
+    """
     if not freeze_layers:
         return None
+    if freeze_layers.startswith("probe"):
+        parts = freeze_layers.split(";")
+        open_blocks = int(parts[1]) if len(parts) > 1 else 0
+        open_proj = bool(int(parts[2])) if len(parts) > 2 else False
+
+        def mult(path, leaf):
+            names = _path_names(path)
+            if any(n.startswith("blocks") for n in names):
+                d = leaf.shape[0]
+                vec = (np.arange(d) >= d - open_blocks).astype(np.float32)
+                return jnp.asarray(
+                    vec.reshape((d,) + (1,) * (leaf.ndim - 1)))
+            if any(n.startswith("clip_projector") for n in names):
+                return jnp.asarray(1.0 if open_proj else 0.0)
+            if any(_is_embed_layer(n) for n in names):
+                return jnp.asarray(0.0)
+            return jnp.asarray(1.0)
+        return jax.tree_util.tree_map_with_path(mult, params)
     if not freeze_layers.startswith("first N blocks"):
         raise ValueError(f"unknown freeze spec {freeze_layers!r}")
     k = int(freeze_layers.split(";")[1])

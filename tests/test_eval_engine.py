@@ -165,3 +165,45 @@ def test_multi_host_view_sharding_covers_all(dota_root, tiny_model):
         ["clip", "filename"]).reset_index(drop=True)
     want = full.sort_values(["clip", "filename"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, want)
+
+
+@pytest.mark.parametrize("target_fps", [10, 5])
+def test_tubelet_precompute_matches_pixel_path(dota_root, tiny_model,
+                                               target_fps):
+    """The half-kernel token-gather serving path scores identically (up to
+    fp reassociation) to the pixel-gather path, including fps-decimated
+    windows (step > 1)."""
+    model, params = tiny_model
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=16,
+                      target_fps=target_fps, orig_fps=10, view_step=1,
+                      crop_size=32)
+    view = ds.clip_eval_views()[0]
+    pix = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32, precompute_tubelets=False)
+    tok = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32, precompute_tubelets=True)
+    assert tok.precompute_tubelets
+    a = pix.score_view(ds, view)
+    b = tok.score_view(ds, view)
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)
+
+
+def test_tubelet_precompute_tubelet1_variant(dota_root):
+    """tubelet_size=1 (UMT geometry): token path == pixel path."""
+    cfg = ViTConfig(img_size=32, all_frames=8, patch_size=16, embed_dim=64,
+                    depth=1, num_heads=2, num_classes=2, attn_impl="naive",
+                    tubelet_size=1, pos_embed_kind="umt")
+    model = VisionTransformer(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=8, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=32)
+    view = ds.clip_eval_views()[0]
+    pix = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32, precompute_tubelets=False)
+    tok = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32, precompute_tubelets=True)
+    np.testing.assert_allclose(pix.score_view(ds, view),
+                               tok.score_view(ds, view),
+                               atol=5e-4, rtol=5e-4)
