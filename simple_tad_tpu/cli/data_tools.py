@@ -131,6 +131,75 @@ def anno_for_predictions(data_set: str, data_path: str, split: str,
     return df
 
 
+def natsorted(items):
+    """Natural sort ('10/2' after '2/2'), the natsort.natsorted subset the
+    annotation-prep scripts rely on (prepare_anno_dada2000.py:2)."""
+    import re
+
+    def key(s):
+        return tuple(int(t) if t.isdigit() else t
+                     for t in re.split(r"(\d+)", str(s)))
+    return sorted(items, key=key)
+
+
+def _split_clip_ids(anno_line: str) -> str:
+    """'<dir> <label> <start> <end> <toa>, <free text>' -> dir
+    (prepare_anno_dada2000.py:21-24)."""
+    main_data = anno_line.strip().split(",", 1)[0]
+    return main_data.split()[0]
+
+
+def prepare_anno_split(full_anno: str, orig_split: str, out_dir: str, *,
+                       zfill: int, listed_role: str):
+    """Derive training.txt/validation.txt from the full annotation CSV and
+    an original split list.
+
+    Equivalent of data_tools/dada/prepare_anno_dada2000.py (listed_role=
+    'train', clip ids zfill 3) and prepare_anno_capdata.py (listed_role=
+    'val', zfill 6): all clips come from full_anno ('type'/'video'
+    columns -> 'type/zfilled-video'), the clips named in ``orig_split``
+    take the listed role, the natsorted complement takes the other."""
+    import pandas as pd
+    anno = pd.read_csv(full_anno)
+    all_clips = natsorted(
+        f"{int(t)}/{str(int(v)).zfill(zfill)}"
+        for t, v in zip(anno["type"], anno["video"]))
+    with open(orig_split) as f:
+        listed = {_split_clip_ids(line) for line in f if line.strip()}
+    missing = listed - set(all_clips)
+    assert not missing, f"split clips absent from full_anno: {missing}"
+    listed_sorted = natsorted(listed)
+    complement = [c for c in all_clips if c not in listed]
+    assert len(listed_sorted) + len(complement) == len(all_clips)
+    train, val = ((listed_sorted, complement) if listed_role == "train"
+                  else (complement, listed_sorted))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "training.txt"), "w") as f:
+        f.write("\n".join(train))
+    with open(os.path.join(out_dir, "validation.txt"), "w") as f:
+        f.write("\n".join(val))
+    return train, val
+
+
+def convert_xlsx(src: str, dst: str, sheet: str = "annotation file"):
+    """Excel annotation -> csv (data_tools/dada/convert_xlsx.py).  Needs an
+    Excel engine (openpyxl/xlrd) — not baked into this image, so fail with
+    a clear message rather than a pandas stack."""
+    import pandas as pd
+    try:
+        frames = pd.read_excel(src, sheet_name=None)
+    except ImportError as e:
+        raise SystemExit(
+            f"convert-xlsx needs an Excel reader engine ({e}); install "
+            "openpyxl (xlsx) or xlrd (legacy xls), or export the sheet to "
+            "csv manually") from e
+    df = frames.get(sheet)
+    if df is None:
+        df = next(iter(frames.values()))
+    df.to_csv(dst, index=False)
+    return len(df)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("simple_tad_tpu data tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -151,6 +220,25 @@ def main(argv=None):
     p.add_argument("--data_path", required=True)
     p.add_argument("--split", default="val_split.txt")
     p.add_argument("--out", required=True)
+    p = sub.add_parser("prepare-anno-dada2000",
+                       help="full_anno.csv + orig_training.txt -> "
+                            "training/validation.txt (dada/"
+                            "prepare_anno_dada2000.py)")
+    p.add_argument("--full_anno", required=True)
+    p.add_argument("--orig_split", required=True)
+    p.add_argument("--out_dir", required=True)
+    p = sub.add_parser("prepare-anno-capdata",
+                       help="cap annotation csv + orig testing list -> "
+                            "training/validation.txt (dada/"
+                            "prepare_anno_capdata.py)")
+    p.add_argument("--full_anno", required=True)
+    p.add_argument("--orig_split", required=True)
+    p.add_argument("--out_dir", required=True)
+    p = sub.add_parser("convert-xlsx",
+                       help="Excel annotation -> csv (dada/convert_xlsx.py)")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--sheet", default="annotation file")
     p = sub.add_parser("prepare-views",
                        help="precompute pretrain view lists (the reference's"
                             " *_prepared datasets, bdd100k.py:164-188)")
@@ -184,6 +272,19 @@ def main(argv=None):
         df = anno_for_predictions(args.data_set, args.data_path, args.split,
                                   args.out)
         print(f"wrote {len(df)} rows to {args.out}")
+    elif args.cmd == "prepare-anno-dada2000":
+        train, val = prepare_anno_split(args.full_anno, args.orig_split,
+                                        args.out_dir, zfill=3,
+                                        listed_role="train")
+        print(f"train {len(train)} clips, val {len(val)} clips")
+    elif args.cmd == "prepare-anno-capdata":
+        train, val = prepare_anno_split(args.full_anno, args.orig_split,
+                                        args.out_dir, zfill=6,
+                                        listed_role="val")
+        print(f"train {len(train)} clips, val {len(val)} clips")
+    elif args.cmd == "convert-xlsx":
+        n = convert_xlsx(args.src, args.dst, args.sheet)
+        print(f"wrote {n} rows to {args.dst}")
     elif args.cmd == "prepare-views":
         from simple_tad_tpu.cli.pretrain import _build_source
         from simple_tad_tpu.data.pretrain_datasets import save_view_list

@@ -109,3 +109,51 @@ def test_anno_for_predictions_cli(dota_root, tmp_path):
     import pandas as pd
     df = pd.read_csv(out)
     assert len(df) > 0 and "clip_lvl_cat" in df.columns
+
+
+def test_prepare_anno_dada2000_and_capdata(tmp_path):
+    """Synthetic-input golden for the annotation-prep subcommands
+    (reference data_tools/dada/prepare_anno_{dada2000,capdata}.py):
+    natsorted clip universe from full_anno, listed split takes its role,
+    complement takes the other."""
+    from simple_tad_tpu.cli.data_tools import main as dt_main
+    full = tmp_path / "full_anno.csv"
+    full.write_text(
+        "video,type,whatever\n"
+        "2,10,x\n"
+        "1,2,x\n"
+        "11,2,x\n"
+        "3,2,x\n")
+    orig = tmp_path / "orig_training.txt"
+    # '<dir> <label> <start> <end> <toa>, free text'
+    orig.write_text("2/003 1 5 20 12, some text, with commas\n"
+                    "2/001 0 0 0 0, more text\n")
+    out = tmp_path / "split"
+    dt_main(["prepare-anno-dada2000", "--full_anno", str(full),
+             "--orig_split", str(orig), "--out_dir", str(out)])
+    train = (out / "training.txt").read_text().splitlines()
+    val = (out / "validation.txt").read_text().splitlines()
+    assert train == ["2/001", "2/003"]          # natsorted listed clips
+    assert val == ["2/011", "10/002"]           # natsorted complement
+
+    # capdata flips the role (listed clips are the VAL set) + zfill 6
+    orig6 = tmp_path / "orig_testing.txt"
+    orig6.write_text("2/000003 1 5 20 12, text\n")
+    out2 = tmp_path / "split_cap"
+    dt_main(["prepare-anno-capdata", "--full_anno", str(full),
+             "--orig_split", str(orig6), "--out_dir", str(out2)])
+    assert (out2 / "validation.txt").read_text().splitlines() == ["2/000003"]
+    assert (out2 / "training.txt").read_text().splitlines() == [
+        "2/000001", "2/000011", "10/000002"]
+
+
+def test_prepare_anno_rejects_unknown_clips(tmp_path):
+    from simple_tad_tpu.cli.data_tools import prepare_anno_split
+    full = tmp_path / "full_anno.csv"
+    full.write_text("video,type\n1,2\n")
+    orig = tmp_path / "orig.txt"
+    orig.write_text("9/999 1 2 3 4, text\n")
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        prepare_anno_split(str(full), str(orig), str(tmp_path / "o"),
+                           zfill=3, listed_role="train")
