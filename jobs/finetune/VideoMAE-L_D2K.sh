@@ -1,16 +1,16 @@
 #!/bin/bash
 # Frame fine-tuning: translated 1:1 from the reference
-# jobs/finetune/VideoMAE-B_DADA2K.sh (flag names shared; torchrun/deepspeed wiring
+# jobs/finetune/VideoMAE-L_D2K.sh (flag names shared; torchrun/deepspeed wiring
 # replaced by the jit/pjit driver; sampling_rate_val as in the original).
 set -e
 
 DATA_ROOT=${DATA_ROOT:-/data/dada2000}
 INIT_CKPT=${INIT_CKPT:-checkpoints/init.pth}
-OUT=${OUT:-runs/VideoMAE-B_DADA2K}
+OUT=${OUT:-runs/VideoMAE-L_D2K}
 
 python -m simple_tad_tpu.cli.finetune \
     --data_set DADA2K --data_path "${DATA_ROOT}" \
-    --model vit_base_patch16_224 \
+    --model vit_large_patch16_224 \
     --finetune "${INIT_CKPT}" \
     --loss crossentropy --nb_classes 2 \
     --batch_size 56 --epochs 50 --warmup_epochs 5 \

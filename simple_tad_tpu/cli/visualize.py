@@ -118,6 +118,123 @@ def zip2gif(zip_path: str, out: str, fps: int = 10, scale: float = 0.5,
     return len(frames)
 
 
+def _read_clip_frames(path: str, n: int, stride: int) -> List[np.ndarray]:
+    """First window of ``n`` frames at ``stride`` from a video file, an
+    images.zip, or a directory of JPEGs — BGR uint8."""
+    idx = [i * stride for i in range(n)]
+    frames: List[np.ndarray] = []
+    if os.path.isdir(path):
+        names = sorted(os.listdir(path))
+        for i in idx:
+            img = cv2.imread(os.path.join(path, names[min(i,
+                                                          len(names) - 1)]))
+            frames.append(img)
+    elif path.endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            names = sorted(zf.namelist())
+            for i in idx:
+                frames.append(cv2.imdecode(
+                    np.frombuffer(zf.read(names[min(i, len(names) - 1)]),
+                                  np.uint8), cv2.IMREAD_COLOR))
+    else:
+        cap = cv2.VideoCapture(path)
+        buf = []
+        while len(buf) <= idx[-1]:
+            ok, img = cap.read()
+            if not ok:
+                break
+            buf.append(img)
+        cap.release()
+        if not buf:
+            raise IOError(f"no frames decoded from {path}")
+        frames = [buf[min(i, len(buf) - 1)] for i in idx]
+    return frames
+
+
+def mae_reconstruction(model_name: str, ckpt: str, video: str, out_dir: str,
+                       *, mask_ratio: float = 0.9, decoder_depth: int = 4,
+                       num_frames: int = 16, sampling_rate: int = 4,
+                       input_size: int = 224, seed: int = 42) -> str:
+    """Masked-autoencoder reconstruction images (the reference vis.sh /
+    upstream run_videomae_vis.py workflow): tube-mask one clip window,
+    predict the masked patches, un-normalize each predicted patch with the
+    ORIGINAL patch's mean/std (the training target is per-patch normalized,
+    engine_for_pretraining.py:201-217), and write orig / masked / recon
+    frame strips."""
+    import jax
+    import jax.numpy as jnp
+
+    import simple_tad_tpu as st
+    from simple_tad_tpu.data.masking import TubeMaskingGenerator
+    from simple_tad_tpu.models.mae import mask_partition
+    from simple_tad_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+    from simple_tad_tpu.utils.torch_convert import load_checkpoint_auto
+
+    model = st.create_model(model_name, decoder_depth=decoder_depth,
+                            all_frames=num_frames, img_size=input_size,
+                            dtype=jnp.float32)
+    n_tok = model.cfg.num_patches
+    dummy = jnp.zeros((1, num_frames, input_size, input_size, 3),
+                      jnp.float32)
+    dummy_mask = np.zeros((1, n_tok), bool)
+    dummy_mask[:, :max(n_tok // 2, 1)] = True
+    params = model.init(jax.random.PRNGKey(0), dummy,
+                        jnp.asarray(dummy_mask),
+                        int(dummy_mask.sum()))["params"]
+    if ckpt:
+        params = load_checkpoint_auto(ckpt, model, params)
+
+    bgr = _read_clip_frames(video, num_frames, sampling_rate)
+    rgb = np.stack([cv2.cvtColor(cv2.resize(
+        f, (input_size, input_size), interpolation=cv2.INTER_CUBIC),
+        cv2.COLOR_BGR2RGB) for f in bgr])                # (T, H, W, 3)
+    unnorm = rgb.astype(np.float32) / 255.0              # [0, 1]
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    x = (unnorm - mean) / std
+
+    cfg = model.cfg
+    p, tb = cfg.patch_size, cfg.tubelet_size
+    T, H, W, _ = unnorm.shape
+    nt, nh, nw = T // tb, H // p, W // p
+    gen = TubeMaskingGenerator((nt, nh, nw), mask_ratio)
+    mask = gen(np.random.default_rng(seed)).astype(bool)[None]   # (1, N)
+    num_masked = int(mask.sum())
+
+    pred = np.asarray(jax.jit(
+        lambda pr, xv, mk: model.apply({"params": pr}, xv, mk, num_masked,
+                                       deterministic=True),
+        static_argnums=())(params, jnp.asarray(x[None]),
+                           jnp.asarray(mask)))           # (1, M, tb*p*p*C)
+
+    # patchify the original, compute per-patch stats, un-normalize pred
+    v = unnorm.reshape(nt, tb, nh, p, nw, p, 3)
+    v = v.transpose(0, 2, 4, 1, 3, 5, 6).reshape(nt * nh * nw, tb * p * p, 3)
+    mu = v.mean(axis=1, keepdims=True)
+    var = ((v - mu) ** 2).sum(axis=1, keepdims=True) / (v.shape[1] - 1)
+    sd = np.sqrt(var) + 1e-6
+    _, mask_idx = mask_partition(jnp.asarray(mask), num_masked)
+    midx = np.asarray(mask_idx)[0]
+    rec_patches = v.copy()
+    pred_p = pred[0].reshape(num_masked, tb * p * p, 3)
+    rec_patches[midx] = pred_p * sd[midx] + mu[midx]
+    masked_patches = v.copy()
+    masked_patches[midx] = 0.5   # gray out masked tubelets
+
+    def unpatch(pt):
+        u = pt.reshape(nt, nh, nw, tb, p, p, 3).transpose(0, 3, 1, 4, 2, 5, 6)
+        return u.reshape(T, H, W, 3)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, arr in (("orig", unnorm), ("masked", unpatch(masked_patches)),
+                      ("recon", unpatch(rec_patches))):
+        strip = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        for t in range(T):
+            cv2.imwrite(os.path.join(out_dir, f"{name}_{t:02d}.jpg"),
+                        cv2.cvtColor(strip[t], cv2.COLOR_RGB2BGR))
+    return out_dir
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("simple_tad_tpu visualization")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,14 +250,33 @@ def main(argv=None):
     g.add_argument("--out", required=True)
     g.add_argument("--fps", type=int, default=10)
     g.add_argument("--scale", type=float, default=0.5)
+    m = sub.add_parser("mae-recon",
+                       help="MAE reconstruction strips (reference vis.sh)")
+    m.add_argument("--model", default="pretrain_videomae_base_patch16_224")
+    m.add_argument("--ckpt", default="")
+    m.add_argument("--video", required=True)
+    m.add_argument("--output_dir", required=True)
+    m.add_argument("--mask_ratio", type=float, default=0.9)
+    m.add_argument("--mask_type", default="tube", choices=["tube"])
+    m.add_argument("--decoder_depth", type=int, default=4)
+    m.add_argument("--num_frames", type=int, default=16)
+    m.add_argument("--sampling_rate", type=int, default=4)
+    m.add_argument("--input_size", type=int, default=224)
     args = p.parse_args(argv)
     if args.cmd == "overlay":
         n = overlay_clip(args.data_path, args.preds, args.clip, args.out,
                          gif=args.gif, fps=args.fps)
         print(f"annotated {n} frames -> {args.out}")
-    else:
+    elif args.cmd == "zip2gif":
         n = zip2gif(args.zip, args.out, args.fps, args.scale)
         print(f"wrote {n} frames -> {args.out}")
+    elif args.cmd == "mae-recon":
+        out = mae_reconstruction(
+            args.model, args.ckpt, args.video, args.output_dir,
+            mask_ratio=args.mask_ratio, decoder_depth=args.decoder_depth,
+            num_frames=args.num_frames, sampling_rate=args.sampling_rate,
+            input_size=args.input_size)
+        print(f"wrote reconstruction strips -> {out}")
 
 
 if __name__ == "__main__":

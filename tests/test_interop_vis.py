@@ -90,3 +90,30 @@ def test_visualize_overlay_and_gif(tmp_path):
     g2 = str(tmp_path / "plain.gif")
     n = zip2gif(os.path.join(root, "frames", "clip_000", "images.zip"), g2)
     assert n == 24 and os.path.getsize(g2) > 500
+
+
+def test_mae_recon_cli(tmp_path):
+    """mae-recon on a tiny synthetic video: strips written, visible patches
+    of the 'recon' image equal the original (only masked patches are
+    predicted)."""
+    import cv2
+    import numpy as np
+
+    from simple_tad_tpu.cli.visualize import main as vis_main
+
+    vid = tmp_path / "demo.avi"
+    wr = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                         (64, 48))
+    for t in range(20):
+        wr.write(np.full((48, 64, 3), 40 + 8 * t, np.uint8))
+    wr.release()
+    out = tmp_path / "vis"
+    vis_main(["mae-recon", "--video", str(vid), "--output_dir", str(out),
+              "--model", "pretrain_videomae_small_patch16_224",
+              "--num_frames", "4", "--sampling_rate", "2",
+              "--input_size", "32", "--decoder_depth", "1"])
+    import os
+    names = sorted(os.listdir(out))
+    assert sum(n.startswith("orig") for n in names) == 4
+    assert sum(n.startswith("masked") for n in names) == 4
+    assert sum(n.startswith("recon") for n in names) == 4
