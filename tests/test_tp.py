@@ -47,3 +47,45 @@ def test_tp_forward_matches_replicated():
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
     got = np.asarray(fwd(sharded, x))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_iv2_6b_tp_compiles_shape_only():
+    """VERDICT r2 #8: the IV2-6B TP claim, tested instead of asserted.
+
+    Abstract params only (no 24 GB on the CPU host): eval_shape the init,
+    then GSPMD-compile the sharded forward at model_parallel=4 on the
+    8-device mesh.  This exercises the packed-qkv boundary at 48 layers /
+    25 heads / 3x3200 columns — head boundaries do NOT align with the
+    4-way shard split, which is exactly the case the tp.py docstring
+    claims GSPMD tolerates."""
+    import simple_tad_tpu as st
+    from jax.sharding import NamedSharding
+
+    model = st.create_model("internvideo2_6B_patch14_224", num_classes=2,
+                            dtype=jnp.bfloat16)
+    assert model.cfg.embed_dim == 3200 and model.cfg.depth == 48
+    x = jax.ShapeDtypeStruct((8, 8, 224, 224, 3), jnp.bfloat16)
+    abs_vars = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 8, 224, 224, 3), jnp.bfloat16))
+    abs_params = abs_vars["params"]
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(abs_params))
+    assert n_params > 5e9, f"6B geometry expected, got {n_params/1e9:.2f}B"
+
+    mesh = make_2d_mesh(8, model_parallel=4)
+    specs = vit_param_specs(abs_params)
+    p_shard = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                           is_leaf=lambda s: isinstance(s, P))
+    x_shard = NamedSharding(mesh, P("data"))
+
+    fwd = jax.jit(
+        lambda p, v: model.apply({"params": p}, v, deterministic=True),
+        in_shardings=(p_shard, x_shard))
+    compiled = fwd.lower(abs_params, x).compile()
+    out_aval = compiled.output_shapes if hasattr(compiled, "output_shapes") \
+        else None
+    # the qkv kernel really lowers sharded: check the compiled input
+    # shardings kept the model axis split
+    in_sh = compiled.input_shardings[0]
+    qkv_sh = in_sh[0]["blocks"]["attn"]["qkv"]["kernel"]
+    assert not qkv_sh.is_fully_replicated
