@@ -227,13 +227,15 @@ class FrameEvaluator:
             return jax.device_put(frames, device), f
         return jnp.asarray(frames), f
 
-    def calibrate(self, dataset: FrameDataset, n_views: int = 2,
-                  views=None) -> None:
+    def calibrate(self, dataset: FrameDataset, n_views: int = 4,
+                  views=None, reduce="max") -> None:
         """PTQ activation calibration for quant8_mode='static': run a few
         clips through a calib-mode twin of the model (same pixel path) and
         write the observed per-layer absmax into the params.  Pass
         ``views`` when the caller already enumerated them (evaluate does)
-        to avoid re-walking the dataset."""
+        to avoid re-walking the dataset; ``reduce`` forwards to
+        ops.quant.calibrate_act_amax ('max' or an outlier-robust
+        quantile)."""
         if self._calibrated or not self.quant8:
             self._calibrated = True
             return
@@ -264,7 +266,7 @@ class FrameEvaluator:
                 w = jnp.take(x, jnp.asarray(chunk), axis=0)
             batches.append(w)
         amax = calibrate_act_amax(calib_model, self.params, batches,
-                                  deterministic=True)
+                                  reduce=reduce, deterministic=True)
         self.params = apply_act_amax(self.params, amax)
         self._params_by_slot = self._replicate_params()
         self._calibrated = True

@@ -129,6 +129,38 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
                             int8_qk=int8_qk, out_dtype=o_ref.dtype)
 
 
+def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
+    """Transposed-PV single-pass attention: scores and probs live as
+    (Np, Bq) tiles (keys on the SUBLANE axis) so the PV matmul runs as
+    o^T = [v^T; ones-row] @ p^T with the head dim on the M axis.
+
+    Why: the standard orientation's PV output is Dh(=64) lanes wide — half
+    the 128-lane MXU idles whether or not the ones-column denominator
+    rides along (the breakdown shows attention at 41% of the ViT-B int8
+    program).  Transposed, PV does 72 output rows (64 head dims + the
+    denominator row + sublane padding) at full lane width: ~44% fewer PV
+    MXU cycles for three small in-kernel transposes (q, v, out).
+    """
+    Np = k.shape[0]
+    D = v.shape[1]
+    qt = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype).T
+    s = jax.lax.dot_general(
+        k, qt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (Np, Bq)
+    if n_valid < Np:
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+    p = jnp.exp2(s)
+    rows = _ceil_to(D + 1, 8)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows - D, Np), 0)
+    ones_row = (row_id == 0).astype(v.dtype)
+    vt_aug = jnp.concatenate([v.T, ones_row], axis=0)    # (rows, Np)
+    ot = jax.lax.dot_general(
+        vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (rows, Bq)
+    return (ot[:D] / ot[D:D + 1]).T.astype(out_dtype)
+
+
 def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
                              head_dim, fuse_l=False, int8_qk=False):
     """Single-pass kernel on the qkv GEMM's native packed (B, N, C) layout.
@@ -143,11 +175,17 @@ def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    pv_t = bool(os.environ.get("SIMPLE_TAD_ATTN_PV_T"))
     for h in range(q.shape[-1] // head_dim):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        o_ref[0, :, sl] = _attend_rows(
-            q[:, sl], k[:, sl], v[:, sl], scale=scale, n_valid=n_valid,
-            fuse_l=fuse_l, int8_qk=int8_qk, out_dtype=o_ref.dtype)
+        if pv_t:
+            o_ref[0, :, sl] = _attend_rows_t(
+                q[:, sl], k[:, sl], v[:, sl], scale=scale,
+                n_valid=n_valid, out_dtype=o_ref.dtype)
+        else:
+            o_ref[0, :, sl] = _attend_rows(
+                q[:, sl], k[:, sl], v[:, sl], scale=scale, n_valid=n_valid,
+                fuse_l=fuse_l, int8_qk=int8_qk, out_dtype=o_ref.dtype)
 
 
 def _flash_primal_impl(q, k, v, scale, block_q):

@@ -84,11 +84,19 @@ def int8_matmul_static(x, w_i8, w_scale, a_amax):
     return y.astype(jnp.float32) * (w_scale * (a_amax / 127.0))
 
 
-def calibrate_act_amax(model, params, batches, **apply_kwargs):
+def calibrate_act_amax(model, params, batches, reduce="max",
+                       **apply_kwargs):
     """Run forwards through a model built with quant_mode='calib' and
-    return the per-site activation absmax tree (the 'calib' collection,
-    reduced with max over batches).  PTQ calibration — the standard
-    static-quantization recipe (a few hundred representative windows).
+    return the per-site activation absmax tree (the 'calib' collection).
+    PTQ calibration — the standard static-quantization recipe (a few
+    hundred representative windows).
+
+    reduce: how per-batch absmax observations combine across batches —
+      'max' (default): strict absmax (never clips a calibration value);
+      a float q in (0, 1): the q-quantile of the per-batch absmax
+      samples — an outlier-robust clip when one calibration batch has a
+      freak activation (needs enough batches to be meaningful; the
+      per-batch value is still a within-batch max).
 
     The forward is jit'd: an eager apply would dispatch the network
     op-by-op, which is pathological through a serving relay."""
@@ -98,11 +106,18 @@ def calibrate_act_amax(model, params, batches, **apply_kwargs):
                                    **apply_kwargs)
         return variables["calib"]
 
-    amax = None
-    for x in batches:
-        cur = run(params, x)
-        amax = cur if amax is None else jax.tree.map(jnp.maximum, amax, cur)
-    return jax.tree.map(lambda t: np.asarray(t), amax)
+    per_batch = [run(params, x) for x in batches]
+    if reduce == "max":
+        amax = per_batch[0]
+        for cur in per_batch[1:]:
+            amax = jax.tree.map(jnp.maximum, amax, cur)
+        return jax.tree.map(lambda t: np.asarray(t), amax)
+    q = float(reduce)
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"reduce must be 'max' or a quantile, got {reduce}")
+    stacked = jax.tree.map(lambda *ts: np.quantile(
+        np.stack([np.asarray(t) for t in ts]), q, axis=0), *per_batch)
+    return stacked
 
 
 def apply_act_amax(params: Dict[str, Any], amax_tree) -> Dict[str, Any]:

@@ -248,3 +248,17 @@ def test_int8_attention_close_to_fp():
     want = np.asarray(_naive_attention(q, k, v, scale)).reshape(B, N, C)
     err = np.abs(got - want).max()
     assert err < 0.06 * np.abs(want).max() + 0.02, err
+
+
+def test_transposed_pv_matches_standard(monkeypatch):
+    """SIMPLE_TAD_ATTN_PV_T kernel orientation == standard packed kernel."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_qkv
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 3 * 128),
+                            jnp.float32)
+    scale = 64 ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        want = flash_attention_qkv(qkv, num_heads=2, scale=scale)
+        monkeypatch.setenv("SIMPLE_TAD_ATTN_PV_T", "1")
+        got = flash_attention_qkv(qkv, num_heads=2, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -1,5 +1,6 @@
 """Int8 inference path: quantized logits track fp32, evaluator integration."""
 
+import os
 import numpy as np
 import pytest
 
@@ -197,3 +198,52 @@ def test_static_quant_int8_attention_drift(monkeypatch):
     assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
         (np.abs(got - want).max(), scale)
     assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
+
+
+def test_calibrate_quantile_reduce():
+    """reduce=<q> clips a freak calibration batch that strict max absorbs."""
+    from simple_tad_tpu.ops.quant import (calibrate_act_amax,
+                                          quantize_vit_params)
+    import dataclasses as dc
+    fp = _model(False)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    qp = quantize_vit_params(params)
+    calib = type(fp)(dc.replace(fp.cfg, quant=True, quant_mode="calib"))
+    normal = [jax.random.normal(jax.random.PRNGKey(i), (2, 4, 32, 32, 3))
+              for i in range(4)]
+    freak = [normal[0] * 100.0]
+    a_max = calibrate_act_amax(calib, qp, normal + freak)
+    a_q = calibrate_act_amax(calib, qp, normal + freak, reduce=0.5)
+    top = jax.tree.leaves(a_max)[0]
+    med = jax.tree.leaves(a_q)[0]
+    assert np.all(np.asarray(med) < np.asarray(top))
+
+
+_DOTA_ROOT = os.environ.get("SIMPLE_TAD_DOTA_ROOT", "/data/dota")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(_DOTA_ROOT, "val_split.txt")),
+    reason="real DoTA dataset not present")
+def test_real_data_int8_auc_drift():
+    """BASELINE quality gate the moment real data exists: the int8
+    static-quant serving path must stay within 0.1 AUC points (0.001
+    absolute) of bf16 on a real-DoTA subset."""
+    import jax.numpy as jnp
+
+    from simple_tad_tpu.data.frame_datasets import (FrameDataset,
+                                                    read_dota_clips)
+    from simple_tad_tpu.eval.engine import FrameEvaluator
+    import simple_tad_tpu as st
+
+    clips = read_dota_clips(_DOTA_ROOT, "val_split.txt")[:12]
+    ds = FrameDataset(clips, mode="test", view_len=16, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=224)
+    model = st.create_model("vit_small_patch16_224", num_classes=2,
+                            dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    bf = FrameEvaluator(model, params, batch_size=64).evaluate(ds)
+    q8 = FrameEvaluator(model, params, batch_size=64,
+                        quant8=True).evaluate(ds)
+    assert abs(bf.metrics.auroc - q8.metrics.auroc) < 0.001, \
+        (bf.metrics.auroc, q8.metrics.auroc)
