@@ -90,6 +90,10 @@ class LayerNormFp32(nn.Module):
         import os
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        from simple_tad_tpu.ops.ln import fused_layernorm, supports_fused_ln
+        if x.ndim >= 2 and supports_fused_ln(self.dim):
+            return fused_layernorm(x, scale, bias, eps=self.eps,
+                                   out_dtype=self.dtype)
         x32 = x.astype(jnp.float32)
         if os.environ.get("SIMPLE_TAD_ABLATE_LN"):
             # measurement knob: affine only, no mean/var passes

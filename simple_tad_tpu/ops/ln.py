@@ -1,0 +1,85 @@
+"""Single-read fused LayerNorm (Pallas, inference serving path).
+
+Why: XLA lowers LayerNorm as a reduce kernel followed by an elementwise
+kernel, so the activation streams from HBM twice (plus the write) — at
+ViT-B batch-96 eval geometry each LN moves 3 x 232 MB and the 24 LNs cost
+15.3 ms of the 224 ms program (scripts/perf_breakdown.py).  Computing the
+row statistics on the VMEM-resident tile reads x once: 2 passes of HBM
+traffic instead of 3.
+
+Statistics match models/layers.py:LayerNormFp32 exactly: fp32 mean/var
+(biased), rsqrt(var + eps), fp32 affine, cast to out dtype.  Parity gated
+by tests/test_flash_attention.py (interpret mode).
+
+Reference behavior: torch nn.LayerNorm inside the pre-LN blocks
+(/root/reference/modeling_finetune.py:137-166).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)              # (rows, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _pick_rows(n: int, target: int = 512) -> int:
+    best = 8
+    for d in range(8, min(n, target) + 1, 8):
+        if n % d == 0:
+            best = d
+    return best
+
+
+def fused_layernorm(x, scale, bias, *, eps: float = 1e-6, out_dtype=None):
+    """LayerNorm over the last axis with fp32 statistics, one HBM read.
+
+    x: (..., C) with C a multiple of 128 (full-lane rows); falls back to
+    the caller's XLA path otherwise (use supports_fused_ln to gate).
+    """
+    out_dtype = out_dtype or x.dtype
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, C)
+    pad = (-rows) % 8
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    rp = rows + pad
+    br = _pick_rows(rp)
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, C), out_dtype),
+    )(x2, scale.reshape(1, C), bias.reshape(1, C))
+    if pad:
+        out = out[:rows]
+    return out.reshape(orig_shape[:-1] + (C,))
+
+
+def supports_fused_ln(C: int) -> bool:
+    import os
+    if not os.environ.get("SIMPLE_TAD_FUSED_LN"):
+        return False   # opt-in until the v5e A/B lands (measure first)
+    return (C % 128 == 0
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("SIMPLE_TAD_FUSED_LN") == "force"))

@@ -262,3 +262,35 @@ def test_transposed_pv_matches_standard(monkeypatch):
         got = flash_attention_qkv(qkv, num_heads=2, scale=scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fused_layernorm_matches_reference(monkeypatch):
+    from simple_tad_tpu.ops.ln import fused_layernorm
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (3, 37, 256), jnp.float32) * 3 + 1.5
+    scale = jax.random.normal(jax.random.PRNGKey(6), (256,)) * 0.2 + 1
+    bias = jax.random.normal(jax.random.PRNGKey(7), (256,)) * 0.1
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    want = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_layernorm(x, scale, bias, eps=1e-6,
+                              out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_fused_layernorm_wired_in_model(monkeypatch):
+    """SIMPLE_TAD_FUSED_LN=force routes LayerNormFp32 through the kernel
+    with identical outputs (interpret mode)."""
+    from simple_tad_tpu.models.layers import LayerNormFp32
+    ln = LayerNormFp32(128, dtype=jnp.float32)
+    params = ln.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 128)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 128))
+    want = ln.apply(params, x)
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_LN", "force")
+    with pltpu.force_tpu_interpret_mode():
+        got = ln.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=2e-6)
