@@ -128,7 +128,8 @@ def main(argv=None):
         wd_schedule=O.array_schedule(wd_sched),
         weight_decay=cfg.weight_decay, layer_decay=cfg.layer_decay,
         depth=model.cfg.depth, betas=tuple(cfg.opt_betas), eps=cfg.opt_eps,
-        clip_grad=cfg.clip_grad, freeze_layers=cfg.freeze_layers)
+        clip_grad=cfg.clip_grad, freeze_layers=cfg.freeze_layers,
+        opt=cfg.opt)
     import optax
     if cfg.update_freq > 1:
         tx = optax.MultiSteps(tx, cfg.update_freq)

@@ -138,14 +138,53 @@ def array_schedule(values: np.ndarray) -> Callable:
     return fn
 
 
+def _direction_transform(opt: str, betas, eps, momentum: float = 0.9
+                         ) -> optax.GradientTransformation:
+    """The un-scaled update direction for each supported --opt name.
+
+    Mirrors the reference optimizer menu (optim_factory.py:91-175, timm
+    create_optimizer) on optax primitives; every choice composes with the
+    same wd-mask / layer-decay / schedule chain.  adamw is the default and
+    the only one any reference job uses; the rest are capability parity.
+    """
+    name = opt.lower()
+    if name in ("adamw", "adam"):
+        return optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
+    if name in ("sgd", "momentum"):
+        return optax.trace(decay=momentum, nesterov=(name == "sgd"))
+    if name == "radam":
+        return optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps)
+    if name == "novograd":
+        return optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps)
+    if name in ("rmsprop", "rmsproptf"):
+        return optax.scale_by_rms(decay=0.9, eps=eps)
+    if name == "adadelta":
+        return optax.scale_by_adadelta(eps=eps)
+    if name == "adafactor":
+        return optax.scale_by_factored_rms()
+    if name == "adabelief":
+        return optax.scale_by_belief(b1=betas[0], b2=betas[1], eps=eps)
+    if name == "lamb":
+        return optax.chain(
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            optax.scale_by_trust_ratio())
+    if name == "lion":
+        return optax.scale_by_lion(b1=betas[0], b2=betas[1])
+    raise ValueError(f"unknown optimizer {opt!r} (optim_factory.py menu: "
+                     "adamw/adam/sgd/momentum/radam/novograd/rmsprop/"
+                     "adadelta/adafactor/adabelief/lamb/lion)")
+
+
 def create_optimizer(params, *, lr_schedule, wd_schedule=None,
                      weight_decay: float = 0.05,
                      layer_decay: float = 1.0, depth: int = 12,
                      betas: Tuple[float, float] = (0.9, 0.999),
                      eps: float = 1e-8, clip_grad: Optional[float] = None,
                      freeze_layers: Optional[str] = None,
+                     opt: str = "adamw",
                      ) -> optax.GradientTransformation:
-    """AdamW matching the reference's effective update.
+    """AdamW (default) matching the reference's effective update; --opt
+    selects the alternatives from the reference optimizer menu.
 
     lr_schedule / wd_schedule: callables step->value (use array_schedule
     over cosine_scheduler output) or floats.
@@ -162,7 +201,7 @@ def create_optimizer(params, *, lr_schedule, wd_schedule=None,
     chain = []
     if clip_grad:
         chain.append(optax.clip_by_global_norm(clip_grad))
-    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    chain.append(_direction_transform(opt, betas, eps))
     chain.append(_add_decayed_weights_scheduled(
         wd_schedule, weight_decay_mask(params)))
     if layer_decay < 1.0:

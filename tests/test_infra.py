@@ -180,3 +180,29 @@ def test_train_input_probe_runs(tmp_path, monkeypatch, capsys):
     assert rows[1]["cache_hit_rate"] is None or \
         rows[1]["cache_hit_rate"] >= rows[0]["cache_hit_rate"]
     assert "input_occupancy" in rows[0]
+
+
+def test_optimizer_menu_variants():
+    """Every reference --opt menu entry builds and takes a step that
+    changes the params (optim_factory.py:91-175 capability parity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from simple_tad_tpu.train import optim as O
+
+    params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.5), "bias": jnp.full((4,), 0.1)}
+    for name in ("adamw", "adam", "sgd", "momentum", "radam", "novograd",
+                 "rmsprop", "adadelta", "adafactor", "adabelief", "lamb",
+                 "lion"):
+        tx = O.create_optimizer(params, lr_schedule=1e-2, opt=name)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert not np.allclose(np.asarray(new["w"]),
+                               np.asarray(params["w"])), name
+    import pytest
+    with pytest.raises(ValueError):
+        O.create_optimizer(params, lr_schedule=1e-2, opt="adahessian")
