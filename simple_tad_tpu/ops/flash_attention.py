@@ -175,7 +175,12 @@ def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    pv_t = bool(os.environ.get("SIMPLE_TAD_ATTN_PV_T"))
+    # default ON where PV lanes would idle (Dh=64): measured v5e b96
+    # whole-model +2.2% ViT-B int8 (470.9 -> 481.1 w/s) and +2.3% ViT-S
+    # bf16 (960.6 -> 982.6); SIMPLE_TAD_NO_ATTN_PV_T restores the
+    # lane-augmented orientation
+    pv_t = (head_dim % 128 != 0
+            and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T"))
     for h in range(q.shape[-1] // head_dim):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         if pv_t:

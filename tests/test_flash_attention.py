@@ -258,7 +258,7 @@ def test_transposed_pv_matches_standard(monkeypatch):
     scale = 64 ** -0.5
     with pltpu.force_tpu_interpret_mode():
         want = flash_attention_qkv(qkv, num_heads=2, scale=scale)
-        monkeypatch.setenv("SIMPLE_TAD_ATTN_PV_T", "1")
+        monkeypatch.setenv("SIMPLE_TAD_NO_ATTN_PV_T", "1")
         got = flash_attention_qkv(qkv, num_heads=2, scale=scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
