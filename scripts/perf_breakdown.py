@@ -114,12 +114,20 @@ def main():
 
             dt = _time(score, pep, bufs, idx)
         else:
+            tb = model.cfg.tubelet_size
+
             @jax.jit
             def score(p, frames_u8, window_idx):
-                w = jnp.take(frames_u8, window_idx,
-                             axis=0).astype(jnp.bfloat16)
-                return model.apply({"params": p}, w,
-                                   deterministic=True).astype(jnp.float32)
+                # mirror bench.py's production token path
+                from simple_tad_tpu.eval.engine import half_kernel_tokens
+                pe = p["patch_embed"]
+                toks = half_kernel_tokens(frames_u8.astype(jnp.bfloat16),
+                                          pe["kernel"], pe["bias"], 16, tb,
+                                          1, jnp.bfloat16)
+                g = jnp.take(toks, window_idx[:, ::tb], axis=0)
+                x = g.reshape(g.shape[0], -1, toks.shape[-1])
+                return model.apply({"params": p}, x, deterministic=True,
+                                   tokens_input=True).astype(jnp.float32)
             dt = _time(score, params, bufs, idx)
         results[variant] = round(dt * 1e3, 2)
         print(json.dumps({"variant": variant, "ms_per_batch": results[variant],

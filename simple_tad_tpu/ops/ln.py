@@ -77,9 +77,21 @@ def fused_layernorm(x, scale, bias, *, eps: float = 1e-6, out_dtype=None):
 
 
 def supports_fused_ln(C: int) -> bool:
+    """Measured v5e (int8 serving, b96, whole-model): the kernel WINS at
+    ViT-S width (1064.8 -> 1118.7 w/s, C=384) and LOSES at ViT-B (481.1 ->
+    471.7, C=768) — at the wider dim XLA's quantize-into-LN-epilogue
+    fusion, which the opaque Pallas boundary breaks, is worth more than
+    the saved reduce pass.  Default: ON for C <= 512 on TPU.
+    SIMPLE_TAD_FUSED_LN=1 forces all widths, =0 disables, =force enables
+    off-TPU (interpret tests)."""
     import os
-    if not os.environ.get("SIMPLE_TAD_FUSED_LN"):
-        return False   # opt-in until the v5e A/B lands (measure first)
-    return (C % 128 == 0
-            and (jax.default_backend() == "tpu"
-                 or os.environ.get("SIMPLE_TAD_FUSED_LN") == "force"))
+    flag = os.environ.get("SIMPLE_TAD_FUSED_LN", "")
+    if flag == "0":
+        return False
+    if C % 128 != 0:
+        return False
+    if flag == "force":
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    return bool(flag) or C <= 512
