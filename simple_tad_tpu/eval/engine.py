@@ -167,9 +167,11 @@ class FrameEvaluator:
             return logits.astype(jnp.float32)
 
         self._score = _score
+        from simple_tad_tpu.models.internvideo2 import InternVideo2
         from simple_tad_tpu.models.vit import VisionTransformer
         self.precompute_tubelets = (
-            precompute_tubelets and isinstance(model, VisionTransformer)
+            precompute_tubelets
+            and isinstance(model, (VisionTransformer, InternVideo2))
             and model.cfg.tubelet_size in (1, 2)
             and not os.environ.get("SIMPLE_TAD_NO_TUBELET_PRECOMPUTE"))
         self._score_by_step: Dict[int, Any] = {}
@@ -198,9 +200,13 @@ class FrameEvaluator:
             else:
                 frames = image_ops.normalize(frames, self.mean, self.std,
                                              dtype=dtype)
-            pe = params["patch_embed"]
-            toks = half_kernel_tokens(frames, pe["kernel"], pe["bias"],
-                                      p_sz, tb, step, dtype)
+            if "patch_embed" in params:       # ViT family
+                kern, bia = (params["patch_embed"]["kernel"],
+                             params["patch_embed"]["bias"])
+            else:                             # InternVideo2 (flat names)
+                kern, bia = params["patch_kernel"], params["patch_bias"]
+            toks = half_kernel_tokens(frames, kern, bia, p_sz, tb, step,
+                                      dtype)
             g = jnp.take(toks, window_idx[:, ::tb], axis=0)
             x = g.reshape(g.shape[0], -1, toks.shape[-1])
             logits = self.model.apply({"params": params}, x,

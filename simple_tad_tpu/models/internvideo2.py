@@ -271,25 +271,32 @@ class InternVideo2(nn.Module):
     cfg: IV2Config
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: (B, T, H, W, C) normalized video -> (B, num_classes)."""
+    def __call__(self, x, deterministic: bool = True,
+                 tokens_input: bool = False):
+        """x: (B, T, H, W, C) normalized video -> (B, num_classes).
+        With tokens_input=True, x is pre-embedded (B, num_patches, D)
+        (the evaluator's per-frame token precompute; cls + pos are still
+        added here)."""
         cfg = self.cfg
-        B, T, H, W, C = x.shape
-        p, tb = cfg.patch_size, cfg.tubelet_size
+        B = x.shape[0]
         nt, nh, nw = cfg.grid_size
-
-        kernel = self.param("patch_kernel",
-                            nn.initializers.lecun_normal(),
-                            (tb * p * p * cfg.in_chans, cfg.embed_dim))
-        pbias = self.param("patch_bias", nn.initializers.zeros,
-                           (cfg.embed_dim,))
-        xp = x.reshape(B, nt, tb, nh, p, nw, p, C)
-        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-        xp = xp.reshape(B, cfg.num_patches,
-                        tb * p * p * C).astype(cfg.dtype)
-        tokens = (jnp.dot(xp, kernel.astype(cfg.dtype),
-                          preferred_element_type=jnp.float32)
-                  + pbias.astype(jnp.float32)).astype(cfg.dtype)
+        if tokens_input:
+            tokens = x.astype(cfg.dtype)
+        else:
+            _, T, H, W, C = x.shape
+            p, tb = cfg.patch_size, cfg.tubelet_size
+            kernel = self.param("patch_kernel",
+                                nn.initializers.lecun_normal(),
+                                (tb * p * p * cfg.in_chans, cfg.embed_dim))
+            pbias = self.param("patch_bias", nn.initializers.zeros,
+                               (cfg.embed_dim,))
+            xp = x.reshape(B, nt, tb, nh, p, nw, p, C)
+            xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            xp = xp.reshape(B, cfg.num_patches,
+                            tb * p * p * C).astype(cfg.dtype)
+            tokens = (jnp.dot(xp, kernel.astype(cfg.dtype),
+                              preferred_element_type=jnp.float32)
+                      + pbias.astype(jnp.float32)).astype(cfg.dtype)
 
         cls = self.param("cls_token", trunc_normal_init(0.02),
                          (1, 1, cfg.embed_dim))

@@ -207,3 +207,24 @@ def test_tubelet_precompute_tubelet1_variant(dota_root):
     np.testing.assert_allclose(pix.score_view(ds, view),
                                tok.score_view(ds, view),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_tubelet_precompute_iv2(dota_root):
+    """InternVideo2 (flat patch params, cls token, tubelet 1) through the
+    token-gather path == pixel path."""
+    import simple_tad_tpu as st
+    model = st.create_model("internvideo2_small_patch14_224", num_classes=2,
+                            all_frames=8, img_size=28, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    clips = read_dota_clips(dota_root, "val_split.txt")
+    ds = FrameDataset(clips, mode="test", view_len=8, target_fps=10,
+                      orig_fps=10, view_step=1, crop_size=28)
+    view = ds.clip_eval_views()[0]
+    pix = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32, precompute_tubelets=False)
+    tok = FrameEvaluator(model, params, batch_size=8, frame_bucket=64,
+                         dtype=jnp.float32, precompute_tubelets=True)
+    assert tok.precompute_tubelets
+    np.testing.assert_allclose(pix.score_view(ds, view),
+                               tok.score_view(ds, view),
+                               atol=5e-4, rtol=5e-4)
