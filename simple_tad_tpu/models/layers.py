@@ -106,6 +106,47 @@ class LayerNormFp32(nn.Module):
         return y.astype(self.dtype)
 
 
+class LayerNormQuant(nn.Module):
+    """LayerNorm that EMITS the consumer GEMM's int8 activation.
+
+    Static-quant serving only (Block swaps it in for norm1/norm2 when the
+    width supports it): one fused kernel computes fp32 statistics, the
+    affine, and the static int8 quantize (ops/ln.py) — restoring the
+    quantize-into-LN fusion that a plain Pallas LN breaks at the kernel
+    boundary (measured 481.1 -> 471.7 w/s at C=768) while keeping the
+    single-read statistics.  Param structure = LayerNormFp32 + act_amax,
+    so fp checkpoints load unchanged; calib mode runs reference LN math
+    and sows the output absmax AFTER the dtype cast (bit-matching what
+    the downstream GEMM's own calibration observes, so both scales are
+    identical).
+    """
+
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+    mode: str = "static"     # static | calib
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if self.mode == "static":
+            from simple_tad_tpu.ops.ln import fused_layernorm_quant
+            amax = self.param("act_amax", nn.initializers.ones, ())
+            return fused_layernorm_quant(x, scale, bias, amax,
+                                         eps=self.eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (y * scale.astype(jnp.float32)
+             + bias.astype(jnp.float32)).astype(self.dtype)
+        self.sow("calib", "amax",
+                 jnp.max(jnp.abs(y.astype(jnp.float32))),
+                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.zeros(()))
+        return y
+
+
 def drop_path(x, rate, deterministic: bool, rng=None):
     """Stochastic depth on the residual branch (per-sample).
 
@@ -158,7 +199,8 @@ class QuantDense(nn.Module):
         if self.mode == "static":
             from simple_tad_tpu.ops.int8_gemm import (use_fused_w8a8,
                                                       w8a8_gemm)
-            if use_fused_w8a8(self.in_dim, self.out_dim):
+            if use_fused_w8a8(self.in_dim, self.out_dim) \
+                    and x.dtype != jnp.int8:
                 return w8a8_gemm(x, kq, ks, amax, bias=bias,
                                  out_dtype=self.out_dtype)
             y = int8_matmul_static(x, kq, ks, amax)
@@ -198,7 +240,7 @@ class Mlp(nn.Module):
             fc2 = QuantDense(self.hidden_dim, self.dim, mode=self.quant_mode,
                              out_dtype=self.dtype, name="fc2")
             from simple_tad_tpu.ops.int8_gemm import use_fused_mlp, w8a8_mlp
-            if (self.quant_mode == "static"
+            if (self.quant_mode == "static" and x.dtype != jnp.int8
                     and use_fused_mlp(self.dim, self.hidden_dim)):
                 # whole-MLP kernel: the (tokens, hidden) tensor never
                 # leaves VMEM (see ops/int8_gemm.py)
@@ -268,7 +310,8 @@ class Attention(nn.Module):
                                (3 * all_head_dim,))
             if self.quant_mode == "static":
                 amax = self.param("act_amax", nn.initializers.ones, ())
-                if use_fused_w8a8(C, 3 * all_head_dim):
+                if use_fused_w8a8(C, 3 * all_head_dim) \
+                        and x.dtype != jnp.int8:
                     qkv = w8a8_gemm(x, qkv_q, qkv_s, amax,
                                     bias=qkv_bias_vec, out_dtype=self.dtype)
                     qkv_bias_vec = None   # folded into the kernel epilogue
@@ -369,16 +412,24 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True):
         use_dp = not deterministic
+        from simple_tad_tpu.ops.ln import supports_fused_ln_quant
+        lnq = (self.quant and self.quant_mode in ("static", "calib")
+               and supports_fused_ln_quant(self.dim))
+
+        def norm(name):
+            if lnq:
+                return LayerNormQuant(self.dim, self.norm_eps, self.dtype,
+                                      mode=self.quant_mode, name=name)
+            return LayerNormFp32(self.dim, self.norm_eps, self.dtype,
+                                 name=name)
+
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
             proj_drop=self.drop, attn_head_dim=self.attn_head_dim,
             attn_impl=self.attn_impl, quant=self.quant,
             quant_mode=self.quant_mode, dtype=self.dtype,
-            name="attn")(
-                LayerNormFp32(self.dim, self.norm_eps, self.dtype,
-                              name="norm1")(x),
-                deterministic=deterministic)
+            name="attn")(norm("norm1")(x), deterministic=deterministic)
         if self.init_values > 0:
             gamma_1 = self.param(
                 "gamma_1", nn.initializers.constant(self.init_values), (self.dim,))
@@ -391,8 +442,7 @@ class Block(nn.Module):
         mlp_out = Mlp(self.dim, int(self.dim * self.mlp_ratio), drop=self.drop,
                       quant=self.quant, quant_mode=self.quant_mode,
                       dtype=self.dtype, name="mlp")(
-            LayerNormFp32(self.dim, self.norm_eps, self.dtype, name="norm2")(x),
-            deterministic=deterministic)
+            norm("norm2")(x), deterministic=deterministic)
         if self.init_values > 0:
             gamma_2 = self.param(
                 "gamma_2", nn.initializers.constant(self.init_values), (self.dim,))

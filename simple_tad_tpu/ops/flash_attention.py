@@ -150,7 +150,10 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
     if n_valid < Np:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
-    p = jnp.exp2(s)
+    if os.environ.get("SIMPLE_TAD_ABLATE_EXP"):
+        p = s * 1e-4   # measurement knob: softmax-exp cost via A/B delta
+    else:
+        p = jnp.exp2(s)
     rows = _ceil_to(D + 1, 8)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (rows - D, Np), 0)
     ones_row = (row_id == 0).astype(v.dtype)
@@ -300,7 +303,11 @@ def _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q):
     B, N, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads
-    Np = _ceil_to(N, 8)
+    # measurement knob: pad the sequence so lane-aligned query blocks
+    # exist (1568 = 2^5*7^2 has no 128-aligned divisor; 1792 = 14*128
+    # gives bq=896 with zero lane padding in the PV_T score tiles)
+    pad_n = int(os.environ.get("SIMPLE_TAD_ATTN_PAD_N", "0"))
+    Np = max(_ceil_to(N, 8), pad_n)
     if Np - N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     bq = _packed_block_q(Np, C, D, block_q)

@@ -34,6 +34,73 @@ def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _ln_quant_kernel(inv_ref, x_ref, s_ref, b_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = jnp.clip(jnp.round(y * inv_ref[0, 0]),
+                          -127, 127).astype(jnp.int8)
+
+
+def fused_layernorm_quant(x, scale, bias, amax, *, eps: float = 1e-6):
+    """LayerNorm + static int8 quantize in ONE kernel -> int8 (..., C).
+
+    The serving win at wide dims: the plain Pallas LN LOSES at C=768
+    (481.1 -> 471.7 w/s) because the opaque kernel boundary breaks XLA's
+    quantize-into-LN fusion; emitting the consumer GEMM's int8 activation
+    directly restores it AND keeps the single-read statistics.  ``amax``
+    is the calibrated absmax of the LN OUTPUT (the consumer GEMM's
+    act_amax — numerically identical calibration site).  Quantization
+    math is bit-identical to ops.quant.int8_matmul_static's input side
+    (round-half-even, symmetric clip).
+    """
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, C)
+    pad = (-rows) % 8
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    rp = rows + pad
+    br = _pick_rows(rp)
+    from jax.experimental.pallas import tpu as pltpu
+    inv = (127.0 / jnp.maximum(jnp.asarray(amax, jnp.float32),
+                               1e-12)).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        grid=(rp // br,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, C), jnp.int8),
+    )(inv, x2, scale.reshape(1, C), bias.reshape(1, C))
+    if pad:
+        out = out[:rows]
+    return out.reshape(orig_shape[:-1] + (C,))
+
+
+def supports_fused_ln_quant(C: int) -> bool:
+    """Gate for the LN->int8 fused output (static-quant serving only).
+    SIMPLE_TAD_NO_FUSED_LNQ=1 disables; 'force' enables off-TPU for
+    interpret tests."""
+    import os
+    if os.environ.get("SIMPLE_TAD_NO_FUSED_LNQ"):
+        return False
+    if C % 128 != 0:
+        return False
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("SIMPLE_TAD_FUSED_LNQ") == "force")
+
+
 def _pick_rows(n: int, target: int = 512) -> int:
     best = 8
     for d in range(8, min(n, target) + 1, 8):

@@ -247,3 +247,33 @@ def test_real_data_int8_auc_drift():
                         quant8=True).evaluate(ds)
     assert abs(bf.metrics.auroc - q8.metrics.auroc) < 0.001, \
         (bf.metrics.auroc, q8.metrics.auroc)
+
+
+def test_static_quant_fused_ln_quant_drift(monkeypatch):
+    """LN->int8 fused-output path (LayerNormQuant + pre-quantized GEMM
+    inputs) tracks bf16 logits at a supported width (C=128)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    cfg = ViTConfig(img_size=32, all_frames=4, embed_dim=128, depth=2,
+                    num_heads=2, num_classes=2, quant=False)
+    fp = VisionTransformer(cfg)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    head = dict(params["head"])
+    head["kernel"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), np.shape(head["kernel"]))
+    params = {**params, "head": head}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 32, 32, 3))
+    want = np.asarray(fp.apply({"params": params}, x))
+
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_LNQ", "force")
+    qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+    assert "act_amax" in qparams["blocks"]["norm1"], \
+        "LN calibration must land in the norm scope"
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(qmodel.apply({"params": qparams}, x))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
+        (np.abs(got - want).max(), scale)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
