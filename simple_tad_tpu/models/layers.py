@@ -368,10 +368,24 @@ class Attention(nn.Module):
                 qkv_i8, amax3h, num_heads=self.num_heads,
                 scale=scale).astype(self.dtype)
         else:
+            import os
+            out_amax = None
+            if self.quant and self.quant_mode == "static" \
+                    and dropout_rng is None and self.attn_impl == "auto" \
+                    and not os.environ.get("SIMPLE_TAD_NO_ATTN_OUT_Q8"):
+                # int8 output epilogue: the kernel quantizes against the
+                # proj GEMM's calibrated absmax (sown below in calib)
+                out_amax = self.param("out_amax", nn.initializers.ones, ())
             out = dot_product_attention_qkv(
                 qkv, num_heads=self.num_heads, scale=scale,
                 impl=self.attn_impl, dropout_rate=self.attn_drop,
-                dropout_rng=dropout_rng, deterministic=deterministic)
+                dropout_rng=dropout_rng, deterministic=deterministic,
+                out_quant_amax=out_amax)
+            if self.quant and self.quant_mode == "calib":
+                self.sow("calib", "out_amax",
+                         jnp.max(jnp.abs(out.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros(()))
 
         if self.quant:
             out = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,

@@ -85,7 +85,8 @@ def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
 
 def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
                               impl: str = "auto", dropout_rate: float = 0.0,
-                              dropout_rng=None, deterministic: bool = True):
+                              dropout_rng=None, deterministic: bool = True,
+                              out_quant_amax=None):
     """Attention straight off the packed qkv projection.
 
     qkv: (B, N, 3*C) in [q | k | v] column order (the reference's packed
@@ -113,12 +114,14 @@ def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
                 + qkv[:, :, 2 * C:]) * third
     dropping = dropout_rate > 0.0 and not deterministic
     if (impl == "auto" and not dropping
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("SIMPLE_TAD_FORCE_PACKED_ATTN"))
             and D % 64 == 0 and N <= MAX_SINGLE_PASS_N
             and not os.environ.get("SIMPLE_TAD_NO_PACKED_ATTN")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
             and _packed_block_q(_ceil_to(N, 8), C, D, 0) > 0):
-        return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale)
+        return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale,
+                                   out_quant_amax=out_quant_amax)
     qkv4 = qkv.reshape(B, N, 3, num_heads, D)
     out = dot_product_attention(
         qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2], scale=scale,

@@ -164,6 +164,32 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
     return (ot[:D] / ot[D:D + 1]).T.astype(out_dtype)
 
 
+def _fwd_kernel_nomax_packed_q8(inv_ref, q_ref, k_ref, v_ref, o_ref, *,
+                                scale, n_valid, head_dim):
+    """Packed inference kernel with an int8 OUTPUT epilogue: the attention
+    result quantizes against the proj GEMM's calibrated absmax before it
+    ever touches HBM (half the output traffic, and the separate XLA
+    quantize pass that could not fuse across the Pallas boundary
+    disappears).  inv = 127/out_amax rides SMEM."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    inv = inv_ref[0, 0]
+    pv_t = (head_dim % 128 != 0
+            and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T"))
+    for h in range(q.shape[-1] // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        if pv_t:
+            res = _attend_rows_t(q[:, sl], k[:, sl], v[:, sl], scale=scale,
+                                 n_valid=n_valid, out_dtype=jnp.float32)
+        else:
+            res = _attend_rows(q[:, sl], k[:, sl], v[:, sl], scale=scale,
+                               n_valid=n_valid, fuse_l=(head_dim % 128) != 0,
+                               int8_qk=False, out_dtype=jnp.float32)
+        o_ref[0, :, sl] = jnp.clip(jnp.round(res * inv),
+                                   -127, 127).astype(jnp.int8)
+
+
 def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
                              head_dim, fuse_l=False, int8_qk=False):
     """Single-pass kernel on the qkv GEMM's native packed (B, N, C) layout.
@@ -459,8 +485,43 @@ _flash_core_packed_qkv.defvjp(_flash_core_packed_qkv_fwd,
                               _flash_core_packed_qkv_bwd)
 
 
+def _flash_primal_packed_qkv_q8_impl(qkv, num_heads, scale, block_q,
+                                     out_amax):
+    """qkv-direct packed forward with the int8 output epilogue (inference
+    only — the static-quant serving model takes no gradients)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    pad_n = int(os.environ.get("SIMPLE_TAD_ATTN_PAD_N", "0"))
+    Np = max(_ceil_to(N, 8), pad_n)
+    if Np - N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+    bq = _packed_block_q(Np, C, D, block_q)
+    assert bq > 0, "caller gates on _packed_block_q before dispatching here"
+    G = _LANE_GROUP
+    ng = C // G
+    inv = (127.0 / jnp.maximum(jnp.asarray(out_amax, jnp.float32),
+                               1e-12)).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_nomax_packed_q8, scale=float(scale),
+                          n_valid=N, head_dim=D),
+        grid=(B, ng, Np // bq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, Np, G),
+                         lambda b, g, qi, ng=ng: (b, 0, ng + g)),
+            pl.BlockSpec((1, Np, G),
+                         lambda b, g, qi, ng=ng: (b, 0, 2 * ng + g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.int8),
+    )(inv, qkv, qkv, qkv)
+    return out[:, :N]
+
+
 def flash_attention_qkv(qkv, *, num_heads: int, scale: float,
-                        block_q: int = 0):
+                        block_q: int = 0, out_quant_amax=None):
     """Fused attention straight off the packed qkv-GEMM output.
 
     qkv: (B, N, 3*C) laid out [q | k | v] in the reference's
@@ -473,6 +534,13 @@ def flash_attention_qkv(qkv, *, num_heads: int, scale: float,
     128-aligned, N beyond the single-pass cap) falls back to slicing
     q/k/v out and using flash_attention's own dispatch (ADVICE r2: the
     packed impl asserts otherwise, which -O strips).
+
+    out_quant_amax: when given (static-quant serving), the kernel
+    quantizes the attention output against this calibrated absmax and
+    returns int8 (the proj GEMM's activation) — the quantize pass XLA
+    cannot fuse across the Pallas boundary disappears and output HBM
+    traffic halves.  Inference-only; ignored on the fallback path
+    (callers handle a float return there).
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
@@ -483,6 +551,10 @@ def flash_attention_qkv(qkv, *, num_heads: int, scale: float,
         out = flash_attention(qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2],
                               scale=scale, block_q=block_q)
         return out.reshape(B, N, C)
+    if out_quant_amax is not None:
+        return _flash_primal_packed_qkv_q8_impl(qkv, num_heads,
+                                                float(scale), block_q,
+                                                out_quant_amax)
     return _flash_core_packed_qkv(qkv, num_heads, float(scale), block_q)
 
 

@@ -277,3 +277,34 @@ def test_static_quant_fused_ln_quant_drift(monkeypatch):
     assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
         (np.abs(got - want).max(), scale)
     assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
+
+
+def test_static_quant_int8_attn_out_epilogue(monkeypatch):
+    """The attention kernel's int8 output epilogue (packed path forced on
+    CPU, interpret mode): whole-model logits track bf16, and the calib
+    tree carries the out_amax scale."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    cfg = ViTConfig(img_size=32, all_frames=4, embed_dim=128, depth=2,
+                    num_heads=2, num_classes=2, quant=False)
+    fp = VisionTransformer(cfg)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    head = dict(params["head"])
+    head["kernel"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), np.shape(head["kernel"]))
+    params = {**params, "head": head}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 32, 32, 3))
+    want = np.asarray(fp.apply({"params": params}, x))
+
+    monkeypatch.setenv("SIMPLE_TAD_FORCE_PACKED_ATTN", "1")
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_LNQ", "force")
+    with pltpu.force_tpu_interpret_mode():
+        qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+        assert "out_amax" in qparams["blocks"]["attn"]
+        got = np.asarray(qmodel.apply({"params": qparams}, x))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
+        (np.abs(got - want).max(), scale)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
