@@ -141,3 +141,22 @@ def test_finetune_cli_ema_eval_path(full_root, tmp_path, monkeypatch):
     # EMA params actually differ from raw params after training
     assert any(not np.array_equal(np.asarray(g), np.asarray(r))
                for g, r in zip(got, raw))
+
+
+def test_eval_cli_dist_matches_single(full_root, tmp_path):
+    """--dist_eval (default; 8 local devices on the conftest mesh) writes
+    a byte-identical predictions.csv to --no_dist_eval."""
+    from simple_tad_tpu.cli.eval_frames import main
+    base = [
+        "--data_set", "DoTA", "--data_path", full_root,
+        "--model", "vit_small_patch16_224", "--input_size", "32",
+        "--num_frames", "16", "--batch_size", "8",
+        "--dtype", "float32", "--attn_impl", "naive",
+    ]
+    out_d = str(tmp_path / "dist")
+    out_s = str(tmp_path / "single")
+    main(base + ["--output_dir", out_d])
+    main(base + ["--output_dir", out_s, "--no_dist_eval"])
+    pd_bytes = open(os.path.join(out_d, "predictions.csv"), "rb").read()
+    ps_bytes = open(os.path.join(out_s, "predictions.csv"), "rb").read()
+    assert pd_bytes == ps_bytes
