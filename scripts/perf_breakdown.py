@@ -6,11 +6,14 @@ serving relay (CLAUDE.md traps).  Each variant rebuilds the jit with one
 measurement knob set, so the full-vs-variant delta isolates one
 component's cost:
 
-  full       the production int8-static program
+  full       the production int8-static program (token-precompute path)
   no_attn    attention core replaced by a zero-FLOP qkv combine
-  no_ln      LayerNorm mean/var passes removed (affine kept)
+  no_ln      LayerNorm mean/var passes removed (affine kept; with the
+             LayerNormQuant default this delta is small — the quantize
+             remains in the ablated affine)
   no_mlp     whole MLP (fc1+GELU+fc2) removed
-  gather     window gather + normalize + patch embed only
+  gather     LEGACY pixel window gather + patch embed (the path the
+             token precompute replaced; kept for comparison)
 
 Usage: python scripts/perf_breakdown.py [--model vit_base_patch16_224]
        [--batch 96] [--quant]

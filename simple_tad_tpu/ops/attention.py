@@ -72,7 +72,7 @@ def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
     axis 128-aligned, N within the single-pass cap, head_dim % 128 != 0.
     """
     from simple_tad_tpu.ops.flash_attention import (MAX_SINGLE_PASS_N,
-                                                    _ceil_to,
+                                                    _pad_rows,
                                                     _packed_block_q)
     on_tpu = (jax.default_backend() == "tpu"
               and os.environ.get("SIMPLE_TAD_INT8_ATTN"))
@@ -80,7 +80,7 @@ def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
         return False
     D = C // num_heads
     return (N <= MAX_SINGLE_PASS_N and D % 128 != 0
-            and _packed_block_q(_ceil_to(N, 8), C, D, 0) > 0)
+            and _packed_block_q(_pad_rows(N), C, D, 0) > 0)
 
 
 def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
@@ -99,7 +99,7 @@ def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
     back to slicing + dot_product_attention.
     """
     from simple_tad_tpu.ops.flash_attention import (MAX_SINGLE_PASS_N,
-                                                    _ceil_to,
+                                                    _pad_rows,
                                                     _packed_block_q,
                                                     flash_attention_qkv)
     B, N, C3 = qkv.shape
@@ -119,7 +119,7 @@ def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
             and D % 64 == 0 and N <= MAX_SINGLE_PASS_N
             and not os.environ.get("SIMPLE_TAD_NO_PACKED_ATTN")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
-            and _packed_block_q(_ceil_to(N, 8), C, D, 0) > 0):
+            and _packed_block_q(_pad_rows(N), C, D, 0) > 0):
         return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale,
                                    out_quant_amax=out_quant_amax)
     qkv4 = qkv.reshape(B, N, 3, num_heads, D)

@@ -64,6 +64,23 @@ def _pick_block(n: int, target: int = 0) -> int:
     return best
 
 
+def _pad_rows(n: int) -> int:
+    """Padded sequence length with a USABLE query-block divisor.
+
+    Sequence lengths with ugly factorizations make every grid-friendly
+    block tiny: InternVideo2's 2049 tokens pad to 2056 = 2^3 * 257 whose
+    only multiple-of-8 divisor is 8 — the kernel then runs 257 grid steps
+    of 8-row blocks and crawls (the cause of the anomalous 19.7 clips/s
+    IV2-B probe; ViT shapes like 1568 = 2^5 * 7^2 were unaffected).
+    Padding to a multiple of 256 guarantees a >= 256-row block; padded
+    keys mask to -inf via n_valid and padded query rows are sliced off.
+    """
+    np8 = _ceil_to(n, 8)
+    if n > 256 and _pick_block(np8) < 256:
+        return _ceil_to(n, 256)
+    return np8
+
+
 # ---------------------------------------------------------------- forward ---
 
 def _attend_rows(q, k, v, *, scale, n_valid, fuse_l, int8_qk, out_dtype):
@@ -230,7 +247,7 @@ def _flash_primal_impl(q, k, v, scale, block_q):
         out, _ = _flash_fwd_impl(q, k, v, scale, block_q)
         return out
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     if Np - N:
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
@@ -293,7 +310,7 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     """
     B, N, C = q.shape
     D = C // num_heads
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     if Np - N:
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
@@ -333,7 +350,7 @@ def _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q):
     # exist (1568 = 2^5*7^2 has no 128-aligned divisor; 1792 = 14*128
     # gives bq=896 with zero lane padding in the PV_T score tiles)
     pad_n = int(os.environ.get("SIMPLE_TAD_ATTN_PAD_N", "0"))
-    Np = max(_ceil_to(N, 8), pad_n)
+    Np = max(_pad_rows(N), pad_n)
     if Np - N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     bq = _packed_block_q(Np, C, D, block_q)
@@ -427,7 +444,7 @@ def flash_attention_qkv_int8(qkv_i8, amax, *, num_heads: int, scale: float,
     B, N, C3 = qkv_i8.shape
     C = C3 // 3
     D = C // num_heads
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     if Np - N:
         qkv_i8 = jnp.pad(qkv_i8, ((0, 0), (0, Np - N), (0, 0)))
     bq = _packed_block_q(Np, C, D, block_q)
@@ -493,7 +510,7 @@ def _flash_primal_packed_qkv_q8_impl(qkv, num_heads, scale, block_q,
     C = C3 // 3
     D = C // num_heads
     pad_n = int(os.environ.get("SIMPLE_TAD_ATTN_PAD_N", "0"))
-    Np = max(_ceil_to(N, 8), pad_n)
+    Np = max(_pad_rows(N), pad_n)
     if Np - N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     bq = _packed_block_q(Np, C, D, block_q)
@@ -545,7 +562,7 @@ def flash_attention_qkv(qkv, *, num_heads: int, scale: float,
     B, N, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads
-    if N > MAX_SINGLE_PASS_N or _packed_block_q(_ceil_to(N, 8), C, D,
+    if N > MAX_SINGLE_PASS_N or _packed_block_q(_pad_rows(N), C, D,
                                                 block_q) <= 0:
         qkv4 = qkv.reshape(B, N, 3, num_heads, D)
         out = flash_attention(qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2],
@@ -630,7 +647,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
 
 def _flash_fwd_impl(q, k, v, scale, block_q):
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     if Np - N:
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
@@ -754,7 +771,7 @@ def _bwd_dkv_kernel_drop(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_drop_fwd_impl(q, k, v, mask, scale, keep_prob, block_q):
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     if Np - N:
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
@@ -789,7 +806,7 @@ def _flash_drop_fwd_impl(q, k, v, mask, scale, keep_prob, block_q):
 def _flash_drop_bwd_impl(q, k, v, mask, o, lse, do, scale, keep_prob,
                          block_q):
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     lse3 = lse[:, :, None]
     delta3 = delta[:, :, None]
@@ -1005,7 +1022,7 @@ def _drop_rng_thresh(rate: float) -> int:
 
 def _flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob):
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     if Np - N:
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
@@ -1037,7 +1054,7 @@ def _flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob):
 
 def _flash_drop_rng_bwd_impl(q, k, v, seed, o, lse, do, scale, keep_prob):
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     lse3 = lse[:, :, None]
     delta3 = delta[:, :, None]
@@ -1162,7 +1179,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
     BH, N, D = q.shape
-    Np = _ceil_to(N, 8)
+    Np = _pad_rows(N)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     lse3 = lse[:, :, None]                                   # (BH, N, 1)
     delta3 = delta[:, :, None]
@@ -1244,7 +1261,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
     dropping = dropout_mask is not None or dropout_seed is not None
     if (not dropping and not os.environ.get("SIMPLE_TAD_NO_PACKED_ATTN")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
-            and _packed_block_q(_ceil_to(N, 8), H * D, D, block_q) > 0):
+            and _packed_block_q(_pad_rows(N), H * D, D, block_q) > 0):
         # transpose-free packed layout (inference primal; grad transposes
         # inside the custom-vjp fwd)
         out = _flash_core_packed(q.reshape(B, N, H * D),
