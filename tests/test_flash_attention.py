@@ -294,3 +294,26 @@ def test_fused_layernorm_wired_in_model(monkeypatch):
         got = ln.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6, rtol=2e-6)
+
+
+def test_pad_rows_yields_usable_blocks():
+    """N=2049 (IV2) pads to 2056 = 2^3*257 whose only block is 8 rows —
+    _pad_rows must give every supported N a >= 256-row block."""
+    from simple_tad_tpu.ops.flash_attention import _pad_rows, _pick_block
+    for n in (300, 785, 1568, 1569, 2049, 2056, 4095):
+        np_ = _pad_rows(n)
+        assert np_ >= n and np_ % 8 == 0
+        assert _pick_block(np_) >= 256 or n <= 256, (n, np_)
+    assert _pad_rows(1568) == 1568   # ViT geometry untouched
+    assert _pad_rows(128) == 128
+
+
+def test_flash_at_iv2_sequence_length():
+    """Packed kernel correctness at the padded IV2 geometry (N=2049)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, 2049, 2, 64)
+    scale = 64 ** -0.5
+    want = _naive_attention(q, k, v, scale)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
