@@ -144,12 +144,14 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
     from simple_tad_tpu.ops.flash_attention import MAX_SINGLE_PASS_N
     dropping = dropout_rate > 0.0 and not deterministic
     if impl == "auto":
-        if jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0:
-            # odd head dims (IV2-1B: 88) stay on XLA: the zero-padded
-            # kernel measured SLOWER (41.9 vs 35.7 ms at B8 N2049 H16
-            # D88->128 on v5e) — 45% padded-lane waste exceeds the
-            # single-pass win.  Dropout rides the Pallas kernel via the
-            # in-kernel hardware PRNG (round 1 fell back to naive here).
+        if jax.default_backend() == "tpu":
+            # includes odd head dims (IV2-1B: 88 -> zero-padded to 128):
+            # round 2 kept those on XLA from a measurement taken while
+            # ugly sequence lengths collapsed the kernel's query block to
+            # 8 rows (_pad_rows); re-measured whole-model after the fix,
+            # the padded Pallas kernel WINS — IV2-1B b8 20.3 vs 14.6
+            # clips/s.  Dropout rides the Pallas kernel via the in-kernel
+            # hardware PRNG (round 1 fell back to naive here).
             impl = "pallas"
         elif dropping:
             impl = "naive"  # XLA fused attention has no dropout
