@@ -513,7 +513,16 @@ def _flash_primal_packed_qkv_q8_impl(qkv, num_heads, scale, block_q,
     Np = max(_pad_rows(N), pad_n)
     if Np - N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
-    bq = _packed_block_q(Np, C, D, block_q)
+    # the int8 output tile is 4x smaller than the bf16 kernels', which
+    # lets the FULL-SEQUENCE single-pass block fit scoped VMEM at eval
+    # geometry — measured v5e ViT-B int8 b96: bq=1568 543.6 w/s vs 515.4
+    # at the 784 the shared budget model picks (and 465.5 at 392).
+    # Guard: fp32 score strip + bf16 probs + double-buffered kv blocks.
+    if block_q <= 0 and Np * Np * 6 + 4 * Np * _LANE_GROUP * 2 \
+            <= 15_500_000:
+        bq = Np
+    else:
+        bq = _packed_block_q(Np, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     G = _LANE_GROUP
     ng = C // G
