@@ -517,9 +517,10 @@ def _flash_primal_packed_qkv_q8_impl(qkv, num_heads, scale, block_q,
     # lets the FULL-SEQUENCE single-pass block fit scoped VMEM at eval
     # geometry — measured v5e ViT-B int8 b96: bq=1568 543.6 w/s vs 515.4
     # at the 784 the shared budget model picks (and 465.5 at 392).
-    # Guard: fp32 score strip + bf16 probs + double-buffered kv blocks.
-    if block_q <= 0 and Np * Np * 6 + 4 * Np * _LANE_GROUP * 2 \
-            <= 15_500_000:
+    # Guard calibrated to the measured-compiling point: the fp32 score
+    # strip is the liveness driver (Mosaic reuses it for the probs);
+    # 1568^2 fp32 = 9.8M compiles, IV2's 2304^2 = 21M would not.
+    if block_q <= 0 and Np * Np * 4 <= 10_500_000:
         bq = Np
     else:
         bq = _packed_block_q(Np, C, D, block_q)
