@@ -300,6 +300,15 @@ def _packed_block_q(Np: int, C: int, D: int, block_q: int) -> int:
     return _pick_block(Np, max(8, (budget - kv_db) // per_row))
 
 
+
+def _full_seq_block(Np: int, block_q: int) -> bool:
+    """Use the whole sequence as one query block?  The fp32 score strip
+    is the scoped-VMEM liveness driver (Mosaic reuses it for the probs);
+    1568^2 fp32 = 9.8M compiles on v5e with both int8 and bf16 output
+    tiles.  Measured b96: q8 543.6 vs 515.4 (bq 784); bf16 387.6 vs
+    372.1; ViT-S bf16 1086.6 vs 982.6."""
+    return block_q <= 0 and Np * Np * 4 <= 10_500_000
+
 def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     """Transpose-free inference forward on the packed (B, N, C) layout
     (C = H*Dh): grid over (batch, 128-lane head group, query block).
@@ -314,7 +323,8 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     if Np - N:
         zpad = ((0, 0), (0, Np - N), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
-    bq = _packed_block_q(Np, C, D, block_q)
+    bq = Np if _full_seq_block(Np, block_q) \
+        else _packed_block_q(Np, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     fuse_l = (D % 128) != 0 and not os.environ.get("SIMPLE_TAD_NO_FUSED_L")
     int8_qk = bool(os.environ.get("SIMPLE_TAD_INT8_QK"))
@@ -353,7 +363,8 @@ def _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q):
     Np = max(_pad_rows(N), pad_n)
     if Np - N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
-    bq = _packed_block_q(Np, C, D, block_q)
+    bq = Np if _full_seq_block(Np, block_q) \
+        else _packed_block_q(Np, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     fuse_l = (D % 128) != 0 and not os.environ.get("SIMPLE_TAD_NO_FUSED_L")
     int8_qk = bool(os.environ.get("SIMPLE_TAD_INT8_QK"))
@@ -513,17 +524,8 @@ def _flash_primal_packed_qkv_q8_impl(qkv, num_heads, scale, block_q,
     Np = max(_pad_rows(N), pad_n)
     if Np - N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
-    # the int8 output tile is 4x smaller than the bf16 kernels', which
-    # lets the FULL-SEQUENCE single-pass block fit scoped VMEM at eval
-    # geometry — measured v5e ViT-B int8 b96: bq=1568 543.6 w/s vs 515.4
-    # at the 784 the shared budget model picks (and 465.5 at 392).
-    # Guard calibrated to the measured-compiling point: the fp32 score
-    # strip is the liveness driver (Mosaic reuses it for the probs);
-    # 1568^2 fp32 = 9.8M compiles, IV2's 2304^2 = 21M would not.
-    if block_q <= 0 and Np * Np * 4 <= 10_500_000:
-        bq = Np
-    else:
-        bq = _packed_block_q(Np, C, D, block_q)
+    bq = Np if _full_seq_block(Np, block_q) \
+        else _packed_block_q(Np, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     G = _LANE_GROUP
     ng = C // G
