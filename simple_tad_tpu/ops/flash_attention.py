@@ -161,9 +161,16 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
     Np = k.shape[0]
     D = v.shape[1]
     qt = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype).T
-    s = jax.lax.dot_general(
-        k, qt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (Np, Bq)
+    if os.environ.get("SIMPLE_TAD_ABLATE_QK"):
+        # measurement knob: QK-matmul cost via A/B delta (scores become
+        # a cheap broadcast that still consumes q and k)
+        s = (jnp.sum(qt, axis=0, keepdims=True) * 0.0
+             + jnp.sum(k, axis=1, keepdims=True)) * 1e-4
+        s = jnp.broadcast_to(s, (Np, qt.shape[1]))
+    else:
+        s = jax.lax.dot_general(
+            k, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (Np, Bq)
     if n_valid < Np:
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
@@ -175,9 +182,16 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
     row_id = jax.lax.broadcasted_iota(jnp.int32, (rows - D, Np), 0)
     ones_row = (row_id == 0).astype(v.dtype)
     vt_aug = jnp.concatenate([v.T, ones_row], axis=0)    # (rows, Np)
-    ot = jax.lax.dot_general(
-        vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (rows, Bq)
+    if os.environ.get("SIMPLE_TAD_ABLATE_PV"):
+        # measurement knob: PV-matmul cost (reduce p and v cheaply)
+        ot = jnp.broadcast_to(
+            jnp.sum(p, axis=0, keepdims=True) * 1e-4
+            + jnp.sum(vt_aug.astype(jnp.float32), axis=1, keepdims=True)
+            * 0.0 + 1.0, (rows, p.shape[1]))
+    else:
+        ot = jax.lax.dot_general(
+            vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (rows, Bq)
     return (ot[:D] / ot[D:D + 1]).T.astype(out_dtype)
 
 
