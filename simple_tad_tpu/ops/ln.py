@@ -114,8 +114,52 @@ def fused_layernorm(x, scale, bias, *, eps: float = 1e-6, out_dtype=None):
 
     x: (..., C) with C a multiple of 128 (full-lane rows); falls back to
     the caller's XLA path otherwise (use supports_fused_ln to gate).
+
+    Differentiable: the Pallas kernel carries a custom VJP whose backward
+    is the analytic LayerNorm gradient in plain XLA fp32 (the backward is
+    matmul-adjacent elementwise work XLA fuses well; only the forward's
+    extra HBM read was worth a kernel).  Without this, jax.grad through a
+    pallas_call raises — and LayerNormFp32 routes through here for
+    C <= 512 on TPU, i.e. every ViT-S training step.
     """
     out_dtype = out_dtype or x.dtype
+    return _fused_ln_core(x, scale, bias, float(eps),
+                          jnp.dtype(out_dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_ln_core(x, scale, bias, eps, out_dtype_name):
+    return _fused_ln_impl(x, scale, bias, eps, out_dtype_name)
+
+
+def _fused_ln_fwd(x, scale, bias, eps, out_dtype_name):
+    return _fused_ln_impl(x, scale, bias, eps, out_dtype_name), (x, scale)
+
+
+def _fused_ln_bwd(eps, out_dtype_name, res, dy):
+    x, scale = res
+    x32 = x.astype(jnp.float32)
+    dy32 = dy.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    xhat = xc * r
+    dxhat = dy32 * scale.astype(jnp.float32)
+    dx = r * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+              - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    axes = tuple(range(dy.ndim - 1))
+    dscale = jnp.sum(dy32 * xhat, axis=axes)
+    dbias = jnp.sum(dy32, axis=axes)
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_fused_ln_core.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+def _fused_ln_impl(x, scale, bias, eps, out_dtype_name):
+    out_dtype = jnp.dtype(out_dtype_name)
     orig_shape = x.shape
     C = orig_shape[-1]
     rows = 1

@@ -296,6 +296,47 @@ def test_fused_layernorm_wired_in_model(monkeypatch):
                                atol=2e-6, rtol=2e-6)
 
 
+def test_fused_layernorm_grad_matches_xla(monkeypatch):
+    """The fused LN sits on the ViT-S TRAINING path (C<=512 on TPU), so
+    jax.grad must flow through it: custom VJP with the analytic LayerNorm
+    backward.  Regression for the round-3 latent crash (pallas_call has
+    no autodiff rule without it)."""
+    from simple_tad_tpu.models.layers import LayerNormFp32
+    ln = LayerNormFp32(384, dtype=jnp.float32)
+    params = ln.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 384)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 384)) * 2 + 0.5
+
+    def loss(p, x):
+        return jnp.sum(jnp.cos(ln.apply(p, x)))
+
+    want = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_LN", "force")
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss, argnums=(0, 1))(params, x)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_fused_layernorm_grad_bf16_output(monkeypatch):
+    """Grad flows when the kernel emits bf16 (the training dtype)."""
+    from simple_tad_tpu.ops.ln import fused_layernorm
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 128), jnp.float32)
+    s = jnp.ones((128,)) * 1.3
+    b = jnp.zeros((128,))
+
+    def loss(x):
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_layernorm(x, s, b, eps=1e-6, out_dtype=jnp.bfloat16)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(x)
+    assert g.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
 def test_pad_rows_yields_usable_blocks():
     """N=2049 (IV2) pads to 2056 = 2^3*257 whose only block is 8 rows —
     _pad_rows must give every supported N a >= 256-row block."""
