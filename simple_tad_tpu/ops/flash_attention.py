@@ -1203,6 +1203,61 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_merged_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, n_valid, bk):
+    """dq + dk + dv in ONE pass over kv blocks.
+
+    The split dq/dkv kernels each recompute s = qk^T and dp = do v^T, so
+    the backward pays 7 matmuls per tile where 5 carry information.  Here
+    the grid walks kv blocks; dk/dv write their block and dq accumulates
+    across grid steps into a revisited fp32 output (the TPU grid is
+    sequential, so the accumulation is well-defined).  Also reads
+    q/do/lse/delta once instead of twice.
+    """
+    i = pl.program_id(1)
+    q_raw = q_ref[0]                                         # (Np, D)
+    q = (q_raw.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]                                             # (bk, D)
+    v = v_ref[0]
+    do = do_ref[0]                                           # (Np, D)
+    lse = lse_ref[0]                                         # (Np, 1)
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, bk)
+    if n_valid < q.shape[0]:
+        # mask padded QUERY rows (their lse is 0: exp2 would explode) and
+        # padded KV columns (they must not contribute to dq)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        s = jnp.where((q_idx < n_valid) & (kv_idx < n_valid), s, NEG_INF)
+    p = jnp.exp2(s - lse)                                    # (Np, bk)
+    dv = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bk, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, bk)
+    ds = p * (dp - delta)
+    dk = jax.lax.dot_general(
+        ds.astype(q_raw.dtype), q_raw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (bk, D)
+    dq_c = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (Np, D)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dq_ref[0] = dq_c
+
+    @pl.when(i > 0)
+    def _accum():
+        dq_ref[0] += dq_c
+
+
 def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
     BH, N, D = q.shape
     Np = _pad_rows(N)
@@ -1217,6 +1272,23 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
     # tighter block budget than the forward's single-pass tile
     bq = _pick_block(Np, block_q if block_q > 0 else
                      max(128, (3 * 2 ** 20) // (Np * 4)))
+
+    if not os.environ.get("SIMPLE_TAD_ATTN_BWD_SPLIT"):
+        qkv_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
+        kv_blk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
+        row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_merged_kernel, scale=scale, n_valid=N,
+                              bk=bq),
+            grid=(BH, Np // bq),
+            in_specs=[qkv_full, kv_blk, kv_blk, qkv_full, row_full,
+                      row_full],
+            out_specs=[qkv_full, kv_blk, kv_blk],
+            out_shape=[jax.ShapeDtypeStruct((BH, Np, D), jnp.float32),
+                       jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+                       jax.ShapeDtypeStruct((BH, Np, D), q.dtype)],
+        )(q, k, v, do, lse3, delta3)
+        return dq[:, :N].astype(q.dtype), dk[:, :N], dv[:, :N]
 
     qkv_spec_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
     blk_spec = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
