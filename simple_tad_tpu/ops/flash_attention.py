@@ -1042,6 +1042,69 @@ def _bwd_dkv_kernel_drop_rng(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_merged_kernel_drop_rng(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                                lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+                                *, scale, n_valid, thresh, inv_keep, b0):
+    """Dropout-RNG analogue of _bwd_merged_kernel: dq+dk+dv in one pass
+    over kv blocks.  The split dkv kernel already regenerates the full
+    column of keep units and computes ds — the merged form reuses that ds
+    for the dq contribution, dropping the separate dq kernel's QK/doV
+    matmuls and its second regeneration of every mask unit."""
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    q_raw = q_ref[0]                                         # (Np, D)
+    q = (q_raw.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]                                             # (b0, D)
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, b0)
+    if n_valid < q.shape[0]:
+        # padded QUERY rows (lse 0: exp2 would explode) and padded KV
+        # columns (must not contribute to dq; dk/dv padded rows get
+        # sliced off but dq accumulates over every block)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * b0
+        s = jnp.where((q_idx < n_valid) & (kv_idx < n_valid), s, NEG_INF)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, b0)
+    nu = q.shape[0] // b0
+    pd_rows, dpm_rows = [], []
+    for qb in range(nu):
+        uid = (bh * nu + qb) * nu + ki
+        keep = _unit_keep(seed_ref, uid, (b0, b0), thresh, inv_keep)
+        sl = slice(qb * b0, (qb + 1) * b0)
+        pd_rows.append(p[sl] * keep)
+        dpm_rows.append(dp[sl] * keep)
+    pd = jnp.concatenate(pd_rows, axis=0)
+    dpm = jnp.concatenate(dpm_rows, axis=0)
+    dv = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (b0, D)
+    ds = p * (dpm - delta)                                   # (Np, b0)
+    dk = jax.lax.dot_general(
+        ds.astype(q_raw.dtype), q_raw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (b0, D)
+    dq_c = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (Np, D)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_ref[0] = dq_c
+
+    @pl.when(ki > 0)
+    def _accum():
+        dq_ref[0] += dq_c
+
+
 def _drop_rng_thresh(rate: float) -> int:
     return min(int(rate * 2 ** 32), 2 ** 32 - 1)
 
@@ -1097,6 +1160,19 @@ def _flash_drop_rng_bwd_impl(q, k, v, seed, o, lse, do, scale, keep_prob):
     blk_spec = pl.BlockSpec((1, b0, D), lambda b, i: (b, i, 0))
     row_blk = pl.BlockSpec((1, b0, 1), lambda b, i: (b, i, 0))
     row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
+
+    if not os.environ.get("SIMPLE_TAD_ATTN_BWD_SPLIT"):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_merged_kernel_drop_rng, **kw),
+            grid=(BH, Np // b0),
+            in_specs=[seed_spec, qkv_spec_full, blk_spec, blk_spec,
+                      qkv_spec_full, row_full, row_full],
+            out_specs=[qkv_spec_full, blk_spec, blk_spec],
+            out_shape=[jax.ShapeDtypeStruct((BH, Np, D), jnp.float32),
+                       jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+                       jax.ShapeDtypeStruct((BH, Np, D), q.dtype)],
+        )(seed, q, k, v, do, lse3, delta3)
+        return dq[:, :N].astype(q.dtype), dk[:, :N], dv[:, :N]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_drop_rng, **kw),
@@ -1268,10 +1344,15 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
         zpad3 = ((0, 0), (0, Np - N), (0, 0))
         q, k, v, do = (jnp.pad(a, zpad3) for a in (q, k, v, do))
         lse3, delta3 = jnp.pad(lse3, zpad3), jnp.pad(delta3, zpad3)
-    # backward holds ~4 fp32 (block, Np) tiles (s, p, dp, ds): use a
-    # tighter block budget than the forward's single-pass tile
-    bq = _pick_block(Np, block_q if block_q > 0 else
-                     max(128, (3 * 2 ** 20) // (Np * 4)))
+    # The backward computes 4 fp32 (block, Np) score tiles (s, p, dp, ds)
+    # but Mosaic keeps ~2 live (s reused by p, dp by ds): the measured
+    # bq=1568 scoped-vmem OOM was 25.27M = 2 full tiles + operands
+    # against the 16M scoped limit, while bq=784 (2 x 4.9M tiles) ran —
+    # and ran FASTER: 361.4 vs 370.5 ms/step ViT-B batch-24 (bq=392).
+    # Budget: two live fp32 tiles within ~13M.
+    target = (int(os.environ.get("SIMPLE_TAD_ATTN_BWD_BQ", "0")) or block_q
+              or max(128, (13 * 2 ** 20) // (Np * 8)))
+    bq = _pick_block(Np, target)
 
     if not os.environ.get("SIMPLE_TAD_ATTN_BWD_SPLIT"):
         qkv_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
