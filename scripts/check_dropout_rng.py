@@ -27,8 +27,11 @@ from simple_tad_tpu.ops.attention import _naive_attention
 from simple_tad_tpu.ops.flash_attention import flash_attention
 
 
-def main():
-    B, N, H, D = 1, 128, 2, 64
+def main(N=128):
+    # N=128 keeps the probe loop cheap; N=2048 pads to a geometry where
+    # _drop_block < Np, exercising the merged backward kernel's dq
+    # accumulation across kv-block grid steps (and multi-unit masks).
+    B, H, D = 1, 2, 64
     scale = D ** -0.5
     rate = 0.3
     keep = 1.0 - rate
@@ -105,4 +108,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    for n in ([int(a) for a in sys.argv[1:]] or [128, 2048]):
+        print(f"=== N={n} ===")
+        main(n)

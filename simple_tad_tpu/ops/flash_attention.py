@@ -1334,6 +1334,59 @@ def _bwd_merged_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] += dq_c
 
 
+def _bwd_merged_kernel_dt(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, n_valid, bk):
+    """Merged backward with D-MAJOR outputs (SIMPLE_TAD_ATTN_BWD_DT).
+
+    The standard orientation's three output matmuls (dv, dk, dq) are all
+    Dh(=64) lanes wide — half the MXU idles on the N axis, same as the
+    forward PV before the transposed-PV orientation.  Emitting dv^T/dk^T
+    as (D, bk) and dq^T as (D, Np) puts the head dim on the SUBLANE axis
+    and the long dim on lanes; callers transpose outside (the relayout
+    back to (B, N, H*D) absorbs it into the transpose XLA already does).
+    """
+    i = pl.program_id(1)
+    q_raw = q_ref[0]                                         # (Np, D)
+    q = (q_raw.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]                                             # (bk, D)
+    v = v_ref[0]
+    do = do_ref[0]                                           # (Np, D)
+    lse = lse_ref[0]                                         # (Np, 1)
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, bk)
+    if n_valid < q.shape[0]:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        s = jnp.where((q_idx < n_valid) & (kv_idx < n_valid), s, NEG_INF)
+    p = jnp.exp2(s - lse)                                    # (Np, bk)
+    dvt = jax.lax.dot_general(
+        do, p.astype(do.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (D, bk)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Np, bk)
+    ds = p * (dp - delta)
+    dkt = jax.lax.dot_general(
+        q_raw, ds.astype(q_raw.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (D, bk)
+    dqt_c = jax.lax.dot_general(
+        k, ds.astype(k.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (D, Np)
+    dk_ref[0] = dkt.astype(dk_ref.dtype)
+    dv_ref[0] = dvt.astype(dv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dq_ref[0] = dqt_c
+
+    @pl.when(i > 0)
+    def _accum():
+        dq_ref[0] += dqt_c
+
+
 def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
     BH, N, D = q.shape
     Np = _pad_rows(N)
@@ -1358,6 +1411,23 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
         qkv_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
         kv_blk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
         row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
+        if os.environ.get("SIMPLE_TAD_ATTN_BWD_DT"):
+            # D-major outputs (head dim on sublanes, long dim on lanes)
+            dqt, dkt, dvt = pl.pallas_call(
+                functools.partial(_bwd_merged_kernel_dt, scale=scale,
+                                  n_valid=N, bk=bq),
+                grid=(BH, Np // bq),
+                in_specs=[qkv_full, kv_blk, kv_blk, qkv_full, row_full,
+                          row_full],
+                out_specs=[pl.BlockSpec((1, D, Np), lambda b, i: (b, 0, 0)),
+                           pl.BlockSpec((1, D, bq), lambda b, i: (b, 0, i)),
+                           pl.BlockSpec((1, D, bq), lambda b, i: (b, 0, i))],
+                out_shape=[jax.ShapeDtypeStruct((BH, D, Np), jnp.float32),
+                           jax.ShapeDtypeStruct((BH, D, Np), q.dtype),
+                           jax.ShapeDtypeStruct((BH, D, Np), q.dtype)],
+            )(q, k, v, do, lse3, delta3)
+            tr = lambda t: t.transpose(0, 2, 1)[:, :N]
+            return tr(dqt).astype(q.dtype), tr(dkt), tr(dvt)
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_merged_kernel, scale=scale, n_valid=N,
                               bk=bq),
