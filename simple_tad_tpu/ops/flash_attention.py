@@ -1336,14 +1336,19 @@ def _bwd_merged_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_merged_kernel_dt(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dq_ref, dk_ref, dv_ref, *, scale, n_valid, bk):
-    """Merged backward with D-MAJOR outputs (SIMPLE_TAD_ATTN_BWD_DT).
+    """Merged backward with D-MAJOR matmul orientation (the default;
+    SIMPLE_TAD_ATTN_BWD_ROWMAJOR=1 restores the row-major form).
 
     The standard orientation's three output matmuls (dv, dk, dq) are all
     Dh(=64) lanes wide — half the MXU idles on the N axis, same as the
-    forward PV before the transposed-PV orientation.  Emitting dv^T/dk^T
-    as (D, bk) and dq^T as (D, Np) puts the head dim on the SUBLANE axis
-    and the long dim on lanes; callers transpose outside (the relayout
-    back to (B, N, H*D) absorbs it into the transpose XLA already does).
+    forward PV before the transposed-PV orientation.  Computing dv^T /
+    dk^T as (D, bk) and dq^T as (D, Np) puts the head dim on the SUBLANE
+    axis and the long dim on lanes.  dq stays D-major all the way out
+    (full-block spec; callers transpose outside, folding into the
+    relayout XLA already does); dk/dv transpose back in-kernel because a
+    (1, D, bk) output block is illegal for bk not a lane multiple (1568
+    has no 128-multiple divisors) — same trade the forward transposed-PV
+    makes.
     """
     i = pl.program_id(1)
     q_raw = q_ref[0]                                         # (Np, D)
@@ -1375,8 +1380,8 @@ def _bwd_merged_kernel_dt(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dqt_c = jax.lax.dot_general(
         k, ds.astype(k.dtype), (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # (D, Np)
-    dk_ref[0] = dkt.astype(dk_ref.dtype)
-    dv_ref[0] = dvt.astype(dv_ref.dtype)
+    dk_ref[0] = dkt.T.astype(dk_ref.dtype)
+    dv_ref[0] = dvt.T.astype(dv_ref.dtype)
 
     @pl.when(i == 0)
     def _init():
@@ -1411,23 +1416,23 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q):
         qkv_full = pl.BlockSpec((1, Np, D), lambda b, i: (b, 0, 0))
         kv_blk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
         row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
-        if os.environ.get("SIMPLE_TAD_ATTN_BWD_DT"):
-            # D-major outputs (head dim on sublanes, long dim on lanes)
-            dqt, dkt, dvt = pl.pallas_call(
+        if not os.environ.get("SIMPLE_TAD_ATTN_BWD_ROWMAJOR"):
+            # D-major matmul orientation (head dim on sublanes): 341.0 vs
+            # 360.2 ms/step ViT-B batch-24 for the row-major merged form
+            dqt, dk, dv = pl.pallas_call(
                 functools.partial(_bwd_merged_kernel_dt, scale=scale,
                                   n_valid=N, bk=bq),
                 grid=(BH, Np // bq),
                 in_specs=[qkv_full, kv_blk, kv_blk, qkv_full, row_full,
                           row_full],
                 out_specs=[pl.BlockSpec((1, D, Np), lambda b, i: (b, 0, 0)),
-                           pl.BlockSpec((1, D, bq), lambda b, i: (b, 0, i)),
-                           pl.BlockSpec((1, D, bq), lambda b, i: (b, 0, i))],
+                           kv_blk, kv_blk],
                 out_shape=[jax.ShapeDtypeStruct((BH, D, Np), jnp.float32),
-                           jax.ShapeDtypeStruct((BH, D, Np), q.dtype),
-                           jax.ShapeDtypeStruct((BH, D, Np), q.dtype)],
+                           jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+                           jax.ShapeDtypeStruct((BH, Np, D), q.dtype)],
             )(q, k, v, do, lse3, delta3)
-            tr = lambda t: t.transpose(0, 2, 1)[:, :N]
-            return tr(dqt).astype(q.dtype), tr(dkt), tr(dvt)
+            dq = dqt.transpose(0, 2, 1)[:, :N].astype(q.dtype)
+            return dq, dk[:, :N], dv[:, :N]
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_merged_kernel, scale=scale, n_valid=N,
                               bk=bq),
