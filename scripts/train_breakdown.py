@@ -19,6 +19,10 @@ Variants:
             captured real-shaped grads (the non-model step overhead)
   dropout   full + attn_drop 0.1 (in-kernel PRNG path)
   noremat   full without gradient checkpointing (smaller batch if OOM)
+  mae       DAPT/MAE-B pretrain step, mask 0.75, batch 48 (BDD+CAP
+            recipe shape; encoder sees 392 visible tokens, decoder 4
+            blocks on 1568)
+  mae90     same at mask 0.9 (K700 recipe; 160 visible tokens)
 
 Usage: python scripts/train_breakdown.py [--batch 24] [--depth-variants]
 """
@@ -79,6 +83,42 @@ def _build_step(batch_size, *, remat=True, attn_drop=0.0, ema=False):
     return model, tx, criterion, step, state
 
 
+def _build_mae_step(batch_size, mask_ratio, rng):
+    import simple_tad_tpu as st
+    from simple_tad_tpu.train import optim as O
+    from simple_tad_tpu.train.steps import TrainState, make_mae_train_step
+
+    model = st.create_model("pretrain_videomae_base_patch16_224",
+                            dtype=jnp.bfloat16, attn_impl="auto")
+    n_tok = model.cfg.num_patches
+    num_masked = int(mask_ratio * n_tok)
+    dummy_mask = np.zeros((1, n_tok), bool)
+    dummy_mask[:, :num_masked] = True
+    dummy = jnp.zeros((1, 16, 224, 224, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), dummy,
+                        jnp.asarray(dummy_mask), num_masked)["params"]
+    sched = O.cosine_scheduler(3e-4, 3e-5, epochs=12, niter_per_ep=100,
+                               warmup_epochs=1)
+    tx = O.create_optimizer(params, lr_schedule=O.array_schedule(sched),
+                            weight_decay=0.05, betas=(0.9, 0.95),
+                            clip_grad=0.0)
+    step = make_mae_train_step(model, tx, num_masked=num_masked)
+    state = jax.device_put(TrainState.create(params, tx,
+                                             jax.random.PRNGKey(1)))
+    batches = []
+    for _ in range(4):
+        masks = np.zeros((batch_size, n_tok), bool)
+        for r in range(batch_size):
+            masks[r, rng.permutation(n_tok)[:num_masked]] = True
+        batches.append({
+            "video": jnp.asarray(rng.normal(
+                size=(batch_size, 16, 224, 224, 3)).astype(np.float32)
+                * 0.5, dtype=jnp.bfloat16),
+            "mask": jnp.asarray(masks),
+        })
+    return step, state, batches
+
+
 def _time_steps(step, state, batches, warmup=2, reps=8):
     for i in range(warmup):
         state, _ = step(state, batches[i % len(batches)])
@@ -116,7 +156,12 @@ def main():
             os.environ["SIMPLE_TAD_ABLATE_MLP"] = "1"
 
         b = args.batch
-        if variant == "noremat":
+        if variant in ("mae", "mae90"):
+            b = 48
+            ratio = 0.9 if variant == "mae90" else 0.75
+            step, state, bts = _build_mae_step(b, ratio, rng)
+            dt = _time_steps(step, state, bts)
+        elif variant == "noremat":
             b = args.noremat_batch
             bts = _batches(rng, 4, b)
             model, tx, criterion, step, state = _build_step(b, remat=False)

@@ -1083,26 +1083,28 @@ def _bwd_merged_kernel_drop_rng(seed_ref, q_ref, k_ref, v_ref, do_ref,
         dpm_rows.append(dp[sl] * keep)
     pd = jnp.concatenate(pd_rows, axis=0)
     dpm = jnp.concatenate(dpm_rows, axis=0)
-    dv = jax.lax.dot_general(
-        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (b0, D)
+    # D-major orientation (see _bwd_merged_kernel_dt: 341.0 vs 360.2
+    # ms/step for row-major on the no-dropout path)
+    dvt = jax.lax.dot_general(
+        do, pd.astype(do.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (D, b0)
     ds = p * (dpm - delta)                                   # (Np, b0)
-    dk = jax.lax.dot_general(
-        ds.astype(q_raw.dtype), q_raw, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (b0, D)
-    dq_c = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (Np, D)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dkt = jax.lax.dot_general(
+        q_raw, ds.astype(q_raw.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (D, b0)
+    dqt_c = jax.lax.dot_general(
+        k, ds.astype(k.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (D, Np)
+    dk_ref[0] = dkt.T.astype(dk_ref.dtype)
+    dv_ref[0] = dvt.T.astype(dv_ref.dtype)
 
     @pl.when(ki == 0)
     def _init():
-        dq_ref[0] = dq_c
+        dq_ref[0] = dqt_c
 
     @pl.when(ki > 0)
     def _accum():
-        dq_ref[0] += dq_c
+        dq_ref[0] += dqt_c
 
 
 def _drop_rng_thresh(rate: float) -> int:
@@ -1162,17 +1164,19 @@ def _flash_drop_rng_bwd_impl(q, k, v, seed, o, lse, do, scale, keep_prob):
     row_full = pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0))
 
     if not os.environ.get("SIMPLE_TAD_ATTN_BWD_SPLIT"):
-        dq, dk, dv = pl.pallas_call(
+        dqt, dk, dv = pl.pallas_call(
             functools.partial(_bwd_merged_kernel_drop_rng, **kw),
             grid=(BH, Np // b0),
             in_specs=[seed_spec, qkv_spec_full, blk_spec, blk_spec,
                       qkv_spec_full, row_full, row_full],
-            out_specs=[qkv_spec_full, blk_spec, blk_spec],
-            out_shape=[jax.ShapeDtypeStruct((BH, Np, D), jnp.float32),
+            out_specs=[pl.BlockSpec((1, D, Np), lambda b, i: (b, 0, 0)),
+                       blk_spec, blk_spec],
+            out_shape=[jax.ShapeDtypeStruct((BH, D, Np), jnp.float32),
                        jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
                        jax.ShapeDtypeStruct((BH, Np, D), q.dtype)],
         )(seed, q, k, v, do, lse3, delta3)
-        return dq[:, :N].astype(q.dtype), dk[:, :N], dv[:, :N]
+        dq = dqt.transpose(0, 2, 1)[:, :N].astype(q.dtype)
+        return dq, dk[:, :N], dv[:, :N]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_drop_rng, **kw),
