@@ -89,7 +89,8 @@ def _build_mae_step(batch_size, mask_ratio, rng):
     from simple_tad_tpu.train.steps import TrainState, make_mae_train_step
 
     model = st.create_model("pretrain_videomae_base_patch16_224",
-                            dtype=jnp.bfloat16, attn_impl="auto")
+                            dtype=jnp.bfloat16, attn_impl="auto",
+                            remat=True)   # b48 needs 25G un-remat on 16G
     n_tok = model.cfg.num_patches
     num_masked = int(mask_ratio * n_tok)
     dummy_mask = np.zeros((1, n_tok), bool)

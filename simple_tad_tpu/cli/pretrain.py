@@ -88,7 +88,8 @@ def main(argv=None):
                             tubelet_size=cfg.tubelet_size,
                             decoder_depth=cfg.decoder_depth,
                             drop_path_rate=cfg.drop_path,
-                            dtype=dtype, attn_impl=cfg.attn_impl)
+                            dtype=dtype, attn_impl=cfg.attn_impl,
+                            remat=cfg.use_checkpoint)
     window_size = (cfg.num_frames // cfg.tubelet_size,
                    cfg.input_size // 16, cfg.input_size // 16)
 

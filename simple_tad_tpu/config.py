@@ -172,6 +172,7 @@ class PretrainConfig:
     tubelet_size: int = 2
     decoder_depth: int = 4
     drop_path: float = 0.0
+    use_checkpoint: bool = False           # gradient checkpointing (remat)
     normlize_target: bool = True           # (sic) reference spelling
     # optimizer
     opt: str = "adamw"
