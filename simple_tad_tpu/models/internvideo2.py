@@ -20,6 +20,7 @@ fp32 statistics everywhere bf16 runs.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -45,6 +46,10 @@ class RMSNorm(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         x32 = x.astype(jnp.float32)
+        if os.environ.get("SIMPLE_TAD_ABLATE_LN"):
+            # measurement knob (scripts/iv2_breakdown.py): statistics
+            # removed, affine kept — same semantics as layers.py LN knob
+            return (scale.astype(jnp.float32) * x32).astype(self.dtype)
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
         y = x32 * jax.lax.rsqrt(var + self.eps)
         return (scale.astype(jnp.float32) * y).astype(self.dtype)
@@ -94,16 +99,36 @@ class IV2Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, C)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, C)
         if self.qk_normalization:
-            q = RMSNorm(C, dtype=self.dtype, name="q_norm")(q)
-            k = RMSNorm(C, dtype=self.dtype, name="k_norm")(k)
+            # measurement knob (scripts/iv2_breakdown.py): the full-vs-
+            # ablated delta prices the two per-layer (B,N,C) LayerNorm
+            # passes; params still exist so checkpoints stay loadable.
+            if not os.environ.get("SIMPLE_TAD_ABLATE_QKNORM"):
+                q = RMSNorm(C, dtype=self.dtype, name="q_norm")(q)
+                k = RMSNorm(C, dtype=self.dtype, name="k_norm")(k)
         q = q.reshape(B, N, self.num_heads, head_dim)
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
+        out_amax = None
+        if self.quant and self.quant_mode == "static" \
+                and self.attn_impl == "auto" \
+                and not os.environ.get("SIMPLE_TAD_NO_ATTN_OUT_Q8"):
+            # int8 output epilogue against the proj GEMM's calibrated
+            # absmax (sown below in calib mode) — same serving win as the
+            # ViT trunk (models/layers.py): the quantize pass XLA cannot
+            # fuse across the Pallas boundary disappears and the
+            # attention output's HBM traffic halves.
+            out_amax = self.param("out_amax", nn.initializers.ones, ())
         out = dot_product_attention(q, k, v, scale=head_dim ** -0.5,
                                     impl=self.attn_impl,
-                                    deterministic=deterministic)
+                                    deterministic=deterministic,
+                                    out_quant_amax=out_amax)
         out = out.reshape(B, N, C)
         if self.quant:
+            if self.quant_mode == "calib":
+                self.sow("calib", "out_amax",
+                         jnp.max(jnp.abs(out.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros(()))
             return QuantDense(C, C, mode=self.quant_mode,
                               name="proj")(out).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype,
@@ -150,7 +175,9 @@ class IV2Block(nn.Module):
 
         hid = int(self.dim * self.mlp_ratio)
         h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
-        if self.quant:
+        if os.environ.get("SIMPLE_TAD_ABLATE_MLP"):
+            pass   # measurement knob: fc1+GELU+fc2 removed (layers.py Mlp)
+        elif self.quant:
             fc1 = QuantDense(self.dim, hid, mode=self.quant_mode,
                              out_dtype=self.dtype, name="fc1")
             fc2 = QuantDense(hid, self.dim, mode=self.quant_mode,
@@ -355,7 +382,8 @@ class InternVideo2(nn.Module):
             return blk(carry, rate, deterministic), None
 
         if cfg.remat:
-            body = nn.remat(body, prevent_cse=False)
+            from simple_tad_tpu.models.layers import remat_policy
+            body = nn.remat(body, prevent_cse=False, policy=remat_policy())
         if cfg.scan_blocks:
             scan = nn.scan(body, variable_axes={"params": 0, "calib": 0},
                            split_rngs={"params": True, "dropout": True,

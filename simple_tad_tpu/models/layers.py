@@ -49,6 +49,30 @@ def gelu_for(dtype):
     return lambda x: jax.nn.gelu(x, approximate=False)
 
 
+def remat_policy():
+    """Checkpoint policy for the block-scan nn.remat (training).
+
+    Saves the flash-attention kernel outputs (out, lse — named
+    FLASH_RESIDUAL_NAME in ops/flash_attention.py's custom-VJP forwards)
+    so the remat refwd does not re-run the attention forward kernel: the
+    custom-VJP backward consumes the saved pair directly and the refwd
+    kernel call is dead-code-eliminated.  Costs ~58 MB/layer at ViT-B
+    batch-24 (bf16 out + fp32 lse); everything else (qkv GEMM, LN, MLP)
+    still recomputes.  SIMPLE_TAD_REMAT_SAVE_ATTN=0 reverts to
+    save-nothing remat (the round-2 behavior) for A/B.
+
+    Reference equivalent: torch.utils.checkpoint re-runs the whole block
+    forward including flash-attn (run_mae_pretraining has no selective
+    checkpointing); this is the TPU-side improvement on that recipe.
+    """
+    import os
+    if os.environ.get("SIMPLE_TAD_REMAT_SAVE_ATTN", "1") == "0":
+        return None
+    from simple_tad_tpu.ops.flash_attention import FLASH_RESIDUAL_NAME
+    return jax.checkpoint_policies.save_only_these_names(
+        FLASH_RESIDUAL_NAME)
+
+
 def sincos_pos_embed(n_position: int, dim: int) -> np.ndarray:
     """Fixed sinusoidal position table, float64 math then float32.
 

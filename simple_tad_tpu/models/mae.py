@@ -122,7 +122,8 @@ class _BlockStack(nn.Module):
             return blk(carry, rate, deterministic), None
 
         if self.remat:
-            body = nn.remat(body, prevent_cse=False)
+            from simple_tad_tpu.models.layers import remat_policy
+            body = nn.remat(body, prevent_cse=False, policy=remat_policy())
         if self.scan_blocks:
             scan = nn.scan(
                 body, variable_axes={"params": 0},

@@ -93,7 +93,8 @@ class VisionTransformer(nn.Module):
             return blk(carry, rate, deterministic), None
 
         if cfg.remat:
-            body = nn.remat(body, prevent_cse=False)
+            from simple_tad_tpu.models.layers import remat_policy
+            body = nn.remat(body, prevent_cse=False, policy=remat_policy())
         if cfg.scan_blocks:
             scan = nn.scan(
                 body,

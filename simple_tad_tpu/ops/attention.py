@@ -132,7 +132,8 @@ def dot_product_attention_qkv(qkv, *, num_heads: int, scale: float,
 
 def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
                           dropout_rate: float = 0.0,
-                          dropout_rng=None, deterministic: bool = True):
+                          dropout_rng=None, deterministic: bool = True,
+                          out_quant_amax=None):
     """Non-causal multi-head attention with selectable backend.
 
     impl:
@@ -140,8 +141,17 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
       pallas — force the Pallas flash kernel.
       xla    — jax.nn.dot_product_attention (XLA fused).
       naive  — explicit matmul+softmax (parity/debug; supports attn dropout).
+
+    out_quant_amax: static-quant int8 output epilogue (see
+    flash_attention); honored only on the Pallas no-dropout path —
+    callers must handle a float return otherwise.
     """
     from simple_tad_tpu.ops.flash_attention import MAX_SINGLE_PASS_N
+    if os.environ.get("SIMPLE_TAD_ABLATE_ATTN"):
+        # measurement knob (see dot_product_attention_qkv): zero-FLOP
+        # stand-in that still reads q/k/v so producers cannot narrow
+        third = jnp.asarray(1.0 / 3.0, q.dtype)
+        return (q + k + v) * third
     dropping = dropout_rate > 0.0 and not deterministic
     if impl == "auto":
         if jax.default_backend() == "tpu":
@@ -187,7 +197,8 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         if dh % 64 == 0:
             return flash_attention(q, k, v, scale=scale,
                                    dropout_mask=mask, dropout_seed=seed,
-                                   keep_prob=keep)
+                                   keep_prob=keep,
+                                   out_quant_amax=out_quant_amax)
         # odd head dims (InternVideo2-1B: 88) — zero-pad to the next lane
         # multiple; padded q/k columns contribute 0 to every score and
         # padded v columns produce output columns we slice off, so the
@@ -197,6 +208,7 @@ def dot_product_attention(q, k, v, *, scale: float, impl: str = "auto",
         out = flash_attention(jnp.pad(q, cfg), jnp.pad(k, cfg),
                               jnp.pad(v, cfg), scale=scale,
                               dropout_mask=mask, dropout_seed=seed,
-                              keep_prob=keep)
+                              keep_prob=keep,
+                              out_quant_amax=out_quant_amax)
         return out[..., :dh]
     raise ValueError(f"unknown attention impl: {impl!r}")

@@ -42,6 +42,23 @@ MAX_SINGLE_PASS_N = 4096
 LOG2E = 1.4426950408889634   # fold into the scale: exp(x) == exp2(x*log2e),
                              # saving a full score-tile multiply per layer
 
+FLASH_RESIDUAL_NAME = "flash_res"
+
+
+def _name_residuals(out, lse):
+    """checkpoint_name the kernel outputs so a remat policy can SAVE them.
+
+    Under gradient checkpointing (nn.remat on the block scan) the refwd
+    would otherwise re-run the attention forward kernel just to rebuild
+    (out, lse) for the custom-VJP backward.  Naming them lets
+    remat_policy() (models/layers.py) keep the two kernel outputs —
+    ~58 MB/layer at ViT-B batch-24 — and DCE the refwd kernel call while
+    everything else (qkv GEMM, LN, MLP) still recomputes.  A no-op when
+    no remat policy is in flight."""
+    from jax.ad_checkpoint import checkpoint_name
+    return (checkpoint_name(out, FLASH_RESIDUAL_NAME),
+            checkpoint_name(lse, FLASH_RESIDUAL_NAME))
+
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -358,6 +375,42 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     return out[:, :N]
 
 
+def _flash_primal_packed_q8_impl(q, k, v, num_heads, scale, block_q,
+                                 out_amax):
+    """Transpose-free packed forward with the int8 output epilogue, for
+    models whose q/k/v cannot stay fused in the qkv-GEMM output (
+    InternVideo2's qk_normalization re-normalizes q and k between the
+    GEMM and the kernel, internvideo2.py IV2Attention).  Inference-only;
+    same kernel as _flash_primal_packed_qkv_q8_impl, separate operands.
+    """
+    B, N, C = q.shape
+    D = C // num_heads
+    Np = _pad_rows(N)
+    if Np - N:
+        zpad = ((0, 0), (0, Np - N), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
+    bq = Np if _full_seq_block(Np, block_q) \
+        else _packed_block_q(Np, C, D, block_q)
+    assert bq > 0, "caller gates on _packed_block_q before dispatching here"
+    G = _LANE_GROUP
+    inv = (127.0 / jnp.maximum(jnp.asarray(out_amax, jnp.float32),
+                               1e-12)).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_nomax_packed_q8, scale=float(scale),
+                          n_valid=N, head_dim=D),
+        grid=(B, C // G, Np // bq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.int8),
+    )(inv, q, k, v)
+    return out[:, :N]
+
+
 def _flash_primal_packed_qkv_impl(qkv, num_heads, scale, block_q):
     """Packed kernel reading q/k/v DIRECTLY from the fused (B, N, 3C)
     qkv-GEMM output through three BlockSpecs into one operand.
@@ -507,7 +560,7 @@ def _flash_core_packed_qkv_fwd(qkv, num_heads, scale, block_q):
     tr = lambda t: t.reshape(B, N, H, D).transpose(0, 2, 1, 3).reshape(
         B * H, N, D)
     q, k, v = (tr(qkv[:, :, i * C:(i + 1) * C]) for i in range(3))
-    out, lse = _flash_fwd_impl(q, k, v, scale, block_q)
+    out, lse = _name_residuals(*_flash_fwd_impl(q, k, v, scale, block_q))
     return (out.reshape(B, H, N, D).transpose(0, 2, 1, 3).reshape(B, N, C),
             (q, k, v, out, lse, B))
 
@@ -614,7 +667,8 @@ def _flash_core_packed_fwd(q, k, v, num_heads, scale, block_q):
     H, D = num_heads, C // num_heads
     tr = lambda t: t.reshape(B, N, H, D).transpose(0, 2, 1, 3).reshape(
         B * H, N, D)
-    out, lse = _flash_fwd_impl(tr(q), tr(k), tr(v), scale, block_q)
+    out, lse = _name_residuals(
+        *_flash_fwd_impl(tr(q), tr(k), tr(v), scale, block_q))
     res = (tr(q), tr(k), tr(v), out, lse, B)
     return (out.reshape(B, H, N, D).transpose(0, 2, 1, 3).reshape(B, N, C),
             res)
@@ -887,7 +941,8 @@ def _flash_core_drop(q, k, v, mask, scale, keep_prob, block_q):
 
 
 def _flash_core_drop_fwd(q, k, v, mask, scale, keep_prob, block_q):
-    out, lse = _flash_drop_fwd_impl(q, k, v, mask, scale, keep_prob, block_q)
+    out, lse = _name_residuals(
+        *_flash_drop_fwd_impl(q, k, v, mask, scale, keep_prob, block_q))
     return out, (q, k, v, mask, out, lse)
 
 
@@ -1207,7 +1262,8 @@ def _flash_core_drop_rng(q, k, v, seed, scale, keep_prob):
 
 
 def _flash_core_drop_rng_fwd(q, k, v, seed, scale, keep_prob):
-    out, lse = _flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob)
+    out, lse = _name_residuals(
+        *_flash_drop_rng_fwd_impl(q, k, v, seed, scale, keep_prob))
     return out, (q, k, v, seed, out, lse)
 
 
@@ -1486,7 +1542,7 @@ def _flash_core(q, k, v, scale, block_q):
 
 
 def _flash_core_fwd(q, k, v, scale, block_q):
-    out, lse = _flash_fwd_impl(q, k, v, scale, block_q)
+    out, lse = _name_residuals(*_flash_fwd_impl(q, k, v, scale, block_q))
     return out, (q, k, v, out, lse)
 
 
@@ -1500,8 +1556,14 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
                     dropout_mask=None, dropout_seed=None,
-                    keep_prob: float = 1.0):
+                    keep_prob: float = 1.0, out_quant_amax=None):
     """Non-causal fused attention.  q, k, v: (B, N, H, Dh) -> (B, N, H, Dh).
+
+    out_quant_amax: static-quant serving epilogue — the kernel quantizes
+    its output against this calibrated absmax and returns int8 (the proj
+    GEMM's activation).  Only honored on the packed inference branch
+    (no dropout, supported geometry); callers must handle a float return
+    on every other path.
 
     Attention dropout (torch F.dropout semantics on the softmax probs,
     flash_attention_class.py:26-69), two mutually exclusive forms:
@@ -1520,6 +1582,12 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
     if (not dropping and not os.environ.get("SIMPLE_TAD_NO_PACKED_ATTN")
             and not os.environ.get("SIMPLE_TAD_SAFE_SOFTMAX")
             and _packed_block_q(_pad_rows(N), H * D, D, block_q) > 0):
+        if out_quant_amax is not None:
+            out = _flash_primal_packed_q8_impl(
+                q.reshape(B, N, H * D), k.reshape(B, N, H * D),
+                v.reshape(B, N, H * D), H, float(scale), block_q,
+                out_quant_amax)
+            return out.reshape(B, N, H, D)
         # transpose-free packed layout (inference primal; grad transposes
         # inside the custom-vjp fwd)
         out = _flash_core_packed(q.reshape(B, N, H * D),

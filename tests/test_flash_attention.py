@@ -358,3 +358,31 @@ def test_flash_at_iv2_sequence_length():
         got = flash_attention(q, k, v, scale=scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("packed_qkv", [True, False])
+def test_flash_q8_output_epilogue_matches_quantized_naive(packed_qkv):
+    """The int8 output epilogue (static-quant serving) equals
+    quantize(naive attention output) to within one quantization step:
+    both the qkv-direct form (ViT trunk) and the separate-q/k/v form
+    (InternVideo2, whose qk_normalization breaks the fused qkv layout)."""
+    from simple_tad_tpu.ops.flash_attention import (
+        _flash_primal_packed_q8_impl, _flash_primal_packed_qkv_q8_impl)
+    B, n, H, D = 2, 136, 2, 64
+    C = H * D
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, n, H, D)
+    scale = D ** -0.5
+    want_f = _naive_attention(q, k, v, scale)           # (B, n, H, D)
+    amax = float(jnp.max(jnp.abs(want_f))) * 1.02
+    want = np.clip(np.round(np.asarray(want_f, np.float32).reshape(B, n, C)
+                            * (127.0 / amax)), -127, 127)
+    pk = lambda t: t.reshape(B, n, C)
+    with pltpu.force_tpu_interpret_mode():
+        if packed_qkv:
+            qkv = jnp.concatenate([pk(q), pk(k), pk(v)], axis=-1)
+            got = _flash_primal_packed_qkv_q8_impl(qkv, H, scale, 0, amax)
+        else:
+            got = _flash_primal_packed_q8_impl(pk(q), pk(k), pk(v), H,
+                                               scale, 0, amax)
+    assert got.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(got, np.int32), want, atol=1)

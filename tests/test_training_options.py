@@ -194,3 +194,65 @@ def test_zero_stage_shards_opt_state_and_trains():
     specs2 = [x.sharding.spec for x in jax.tree.leaves(new_state.opt_state)
               if hasattr(x, "sharding") and hasattr(x.sharding, "spec")]
     assert any("data" in str(s) for s in specs2), specs2
+
+
+def test_remat_policy_grads_match_no_remat():
+    """Gradient checkpointing (with the attention-saving policy active,
+    models/layers.py:remat_policy) is numerically a no-op: grads match the
+    plain backward.  On CPU the flash kernel is not in the dispatch, so
+    this gates the nn.remat(policy=...) wiring; the named-residual DCE is
+    validated on hardware (docs/TRAIN.md A/B)."""
+    video = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 4, 32, 32, 3)).astype(np.float32))
+
+    def grads(remat):
+        model = VisionTransformer(ViTConfig(
+            img_size=32, all_frames=4, embed_dim=64, depth=3, num_heads=2,
+            num_classes=2, attn_impl="naive", remat=remat))
+        params = model.init(jax.random.PRNGKey(0), video)["params"]
+
+        def f(p):
+            return jnp.sum(model.apply({"params": p}, video,
+                                       deterministic=True) ** 2)
+        return params, jax.grad(f)(params)
+
+    p0, g_plain = grads(False)
+    p1, g_remat = grads(True)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+                 p0, p1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4),
+                 g_plain, g_remat)
+
+
+def test_remat_policy_env_gate(monkeypatch):
+    from simple_tad_tpu.models.layers import remat_policy
+    monkeypatch.setenv("SIMPLE_TAD_REMAT_SAVE_ATTN", "0")
+    assert remat_policy() is None
+    monkeypatch.delenv("SIMPLE_TAD_REMAT_SAVE_ATTN")
+    assert remat_policy() is not None
+
+
+def test_remat_policy_saves_flash_residuals(monkeypatch, capsys):
+    """The attention kernel's (out, lse) are SAVED under the remat policy
+    (refwd kernel call DCE'd) — asserted by tracing saved_residuals with
+    the packed flash path forced (abstract eval only; no kernel runs).
+    Measured on v5e: ViT-B batch-24 full step 341.7 -> 336.0 ms."""
+    monkeypatch.setenv("SIMPLE_TAD_FORCE_PACKED_ATTN", "1")
+    model = VisionTransformer(ViTConfig(
+        num_classes=2, dtype=jnp.bfloat16, remat=True))
+    video = jnp.zeros((2, 16, 224, 224, 3), jnp.bfloat16)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), video))["params"]
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+    def f(p):
+        out = model.apply({"params": p}, video, deterministic=True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    from jax.ad_checkpoint import print_saved_residuals
+    print_saved_residuals(f, params)
+    text = capsys.readouterr().out
+    # the stacked (depth-major) kernel outputs: out bf16[12,24,1568,64]
+    # and lse f32[12,24,1568] appear as saved scan outputs
+    assert "bf16[12,24,1568,64]" in text, text
+    assert "f32[12,24,1568]" in text, text
