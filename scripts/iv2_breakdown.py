@@ -12,7 +12,9 @@ IV2-B differs from the ViT trunk in ways that change the cost surface:
     no full-sequence single-pass blocks,
   * RMS blocks, so the LayerNormQuant int8 fusion does not apply.
 
-Variants: full | no_attn | no_qknorm | no_mlp | no_ln | bf16
+Variants: full | no_attn | no_qknorm | no_mlp | no_ln | bf16 |
+model_only (tokens pre-gathered on device: full - model_only = the
+half_kernel_tokens embed + window gather input path)
 Usage: python scripts/iv2_breakdown.py [--batch 48] [--variants ...]
 """
 
@@ -30,7 +32,9 @@ import jax
 import jax.numpy as jnp
 
 KNOBS = ("SIMPLE_TAD_ABLATE_ATTN", "SIMPLE_TAD_ABLATE_QKNORM",
-         "SIMPLE_TAD_ABLATE_MLP", "SIMPLE_TAD_ABLATE_LN")
+         "SIMPLE_TAD_ABLATE_MLP", "SIMPLE_TAD_ABLATE_LN",
+         "SIMPLE_TAD_ABLATE_EXP", "SIMPLE_TAD_ABLATE_QK",
+         "SIMPLE_TAD_ABLATE_PV")
 
 
 def build(quant, batch, rng):
@@ -59,14 +63,25 @@ def build(quant, batch, rng):
         return model.apply({"params": p}, x, deterministic=True,
                            tokens_input=True).astype(jnp.float32)
 
+    @jax.jit
+    def score_tokens(p, x, window_idx):
+        del window_idx
+        return model.apply({"params": p}, x, deterministic=True,
+                           tokens_input=True).astype(jnp.float32)
+
     idx = jnp.asarray(np.stack([np.arange(i, i + 8)
                                 for i in range(batch)]) % 128, jnp.int32)
-    return score, params, idx
+    return score, score_tokens, params, idx
 
 
-def timeit(score, params, idx, rng):
-    bufs = [jnp.asarray(rng.integers(0, 256, (128, 224, 224, 3), np.uint8))
-            for _ in range(25)]
+def timeit(score, params, idx, rng, shape=(128, 224, 224, 3),
+           dtype=np.uint8):
+    if dtype == np.uint8:
+        bufs = [jnp.asarray(rng.integers(0, 256, shape, np.uint8))
+                for _ in range(25)]
+    else:
+        bufs = [jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.1,
+                            dtype=dtype) for _ in range(25)]
     score(params, bufs[-1], idx).block_until_ready()
     best = 1e9
     for rep in range(3):
@@ -95,6 +110,10 @@ def main():
         for k in KNOBS:
             os.environ.pop(k, None)
         quant = variant != "bf16"
+        # build (init + calibrate) with knobs CLEAR so the param tree is
+        # complete; the jit traces at first call inside timeit, which is
+        # when the ablation knob must be set
+        score, score_tokens, params, idx = build(quant, args.batch, rng)
         if variant == "no_attn":
             os.environ["SIMPLE_TAD_ABLATE_ATTN"] = "1"
         elif variant == "no_qknorm":
@@ -103,8 +122,20 @@ def main():
             os.environ["SIMPLE_TAD_ABLATE_MLP"] = "1"
         elif variant == "no_ln":
             os.environ["SIMPLE_TAD_ABLATE_LN"] = "1"
-        score, params, idx = build(quant, args.batch, rng)
-        dt = timeit(score, params, idx, rng)
+        elif variant == "no_exp":
+            os.environ["SIMPLE_TAD_ABLATE_EXP"] = "1"
+        elif variant == "no_qk":
+            os.environ["SIMPLE_TAD_ABLATE_QK"] = "1"
+        elif variant == "no_pv":
+            os.environ["SIMPLE_TAD_ABLATE_PV"] = "1"
+        if variant == "model_only":
+            # pre-gathered token batches (B, 2048, 768) replace the
+            # frame buffers; distinct per call, same relay rules
+            tok_rng = np.random.default_rng(7)
+            dt = timeit(score_tokens, params, idx, tok_rng,
+                        shape=(args.batch, 2048, 768), dtype=jnp.bfloat16)
+        else:
+            dt = timeit(score, params, idx, rng)
         results[variant] = dt
         print(json.dumps({"variant": variant, "ms": round(dt * 1000, 1),
                           "clips_per_sec": round(args.batch / dt, 1)}),

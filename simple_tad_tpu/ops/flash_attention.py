@@ -129,9 +129,14 @@ def _attend_rows(q, k, v, *, scale, n_valid, fuse_l, int8_qk, out_dtype):
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    if n_valid < k.shape[0]:
-        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+    # Padded keys are EXACT zero rows, so their scores are exactly 0 and
+    # exp2(0) = 1: instead of masking them to -inf (iota+cmp+select — 3
+    # VPU passes over every score tile, a cost ViT shapes never pay
+    # because they need no padding), subtract the constant pad count
+    # from the softmax denominator.  Padded v rows are zero, so the
+    # numerator needs nothing.  (The max-subtracted SAFE_SOFTMAX/training
+    # kernels keep the mask — their probs are shifted, not 1.)
+    n_pad = k.shape[0] - n_valid
     p = jnp.exp2(s)
     if fuse_l:
         Np, D = v.shape
@@ -141,8 +146,11 @@ def _attend_rows(q, k, v, *, scale, n_valid, fuse_l, int8_qk, out_dtype):
         o_full = jax.lax.dot_general(
             p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return (o_full[:, :D] / o_full[:, D:D + 1]).astype(out_dtype)
+        denom = o_full[:, D:D + 1] - n_pad if n_pad else o_full[:, D:D + 1]
+        return (o_full[:, :D] / denom).astype(out_dtype)
     l = jnp.sum(p, axis=1, keepdims=True)
+    if n_pad:
+        l = l - n_pad
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -188,9 +196,9 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
         s = jax.lax.dot_general(
             k, qt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (Np, Bq)
-    if n_valid < Np:
-        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+    # padded keys: exact zero rows -> p = exp2(0) = 1 -> constant
+    # denominator correction instead of a masking pass (see _attend_rows)
+    n_pad = Np - n_valid
     if os.environ.get("SIMPLE_TAD_ABLATE_EXP"):
         p = s * 1e-4   # measurement knob: softmax-exp cost via A/B delta
     else:
@@ -209,7 +217,8 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype):
         ot = jax.lax.dot_general(
             vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (rows, Bq)
-    return (ot[:D] / ot[D:D + 1]).T.astype(out_dtype)
+    denom = ot[D:D + 1] - n_pad if n_pad else ot[D:D + 1]
+    return (ot[:D] / denom).T.astype(out_dtype)
 
 
 def _fwd_kernel_nomax_packed_q8(inv_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -307,7 +316,15 @@ _LANE_GROUP = 128   # channel-axis block width (1-2 heads per grid step)
 
 
 def _packed_block_q(Np: int, C: int, D: int, block_q: int) -> int:
-    """Query-block rows for the packed kernel under a VMEM budget.
+    """Query-block rows for the packed kernel under a VMEM budget
+    (query and key lengths equal — see _packed_block_q2)."""
+    return _packed_block_q2(Np, Np, C, D, block_q)
+
+
+def _packed_block_q2(Np_q: int, Np_k: int, C: int, D: int,
+                     block_q: int) -> int:
+    """Query-block rows for the packed kernel under a VMEM budget, with
+    INDEPENDENT query/key padded lengths.
 
     Mosaic DOUBLE-BUFFERS pipelined blocks, so the 128-lane k/v blocks
     count twice; each query row carries the fp32 score strip + bf16 probs
@@ -317,18 +334,36 @@ def _packed_block_q(Np: int, C: int, D: int, block_q: int) -> int:
         return 0
     block_q = block_q or int(os.environ.get("SIMPLE_TAD_ATTN_BLOCK_Q", 0))
     if block_q > 0:
-        return _pick_block(Np, block_q)
+        return _pick_block(Np_q, block_q)
     # budget calibrated empirically on v5e: the worst-case liveness model
     # (score+probs for every head in the group at once) overstates what
     # Mosaic actually keeps; 18M picks bq=784 at ViT-B/L geometry, which
     # measured fastest (332.3 vs 325.4 w/s at 392, 301.3 at 196) and
     # compiles within the 16M scoped-vmem limit
     budget = 18 * 2 ** 20
-    kv_db = 4 * Np * _LANE_GROUP * 2
+    kv_db = 4 * Np_k * _LANE_GROUP * 2
     if kv_db >= budget:
         return 0                         # caller uses the BH-layout path
-    per_row = (_LANE_GROUP // D) * Np * 6 + _LANE_GROUP * 16
-    return _pick_block(Np, max(8, (budget - kv_db) // per_row))
+    per_row = (_LANE_GROUP // D) * Np_k * 6 + _LANE_GROUP * 16
+    return _pick_block(Np_q, max(8, (budget - kv_db) // per_row))
+
+
+def _pad_rows_qk(n: int, C: int, D: int, block_q: int):
+    """(Np_q, Np_k) for the SEPARATE-operand packed kernels: keys only
+    need 8-sublane alignment plus n_valid masking, while query rows need
+    a length with a usable block divisor.  Searching the smallest query
+    pad whose block reaches 256 rows cuts the score-tile MAC area vs
+    padding both axes to a multiple of 256 — IV2-B (N=2049): 2080x2056
+    vs _pad_rows' 2304x2304, 18% less attention work, bq 520 vs 384.
+    Friendly shapes (ViT 1568, IV2-S 785) keep identical padding."""
+    nk = _ceil_to(n, 8)
+    if (_full_seq_block(nk, block_q)
+            or _packed_block_q2(nk, nk, C, D, block_q) >= 256):
+        return nk, nk
+    for cand in range(nk, _ceil_to(n, 256) + 1, 8):
+        if _packed_block_q2(cand, nk, C, D, block_q) >= 256:
+            return cand, nk
+    return _ceil_to(n, 256), nk
 
 
 
@@ -350,12 +385,14 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     """
     B, N, C = q.shape
     D = C // num_heads
-    Np = _pad_rows(N)
-    if Np - N:
-        zpad = ((0, 0), (0, Np - N), (0, 0))
-        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
-    bq = Np if _full_seq_block(Np, block_q) \
-        else _packed_block_q(Np, C, D, block_q)
+    Np_q, Np_k = _pad_rows_qk(N, C, D, block_q)
+    if Np_q - N:
+        q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
+    if Np_k - N:
+        zpad = ((0, 0), (0, Np_k - N), (0, 0))
+        k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+    bq = Np_q if Np_q == Np_k and _full_seq_block(Np_q, block_q) \
+        else _packed_block_q2(Np_q, Np_k, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     fuse_l = (D % 128) != 0 and not os.environ.get("SIMPLE_TAD_NO_FUSED_L")
     int8_qk = bool(os.environ.get("SIMPLE_TAD_INT8_QK"))
@@ -363,14 +400,14 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_nomax_packed, scale=scale, n_valid=N,
                           head_dim=D, fuse_l=fuse_l, int8_qk=int8_qk),
-        grid=(B, C // G, Np // bq),
+        grid=(B, C // G, Np_q // bq),
         in_specs=[
             pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
-            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
-            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, Np_k, G), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, Np_k, G), lambda b, g, qi: (b, 0, g)),
         ],
         out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Np_q, C), q.dtype),
     )(q, k, v)
     return out[:, :N]
 
@@ -385,12 +422,14 @@ def _flash_primal_packed_q8_impl(q, k, v, num_heads, scale, block_q,
     """
     B, N, C = q.shape
     D = C // num_heads
-    Np = _pad_rows(N)
-    if Np - N:
-        zpad = ((0, 0), (0, Np - N), (0, 0))
-        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
-    bq = Np if _full_seq_block(Np, block_q) \
-        else _packed_block_q(Np, C, D, block_q)
+    Np_q, Np_k = _pad_rows_qk(N, C, D, block_q)
+    if Np_q - N:
+        q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
+    if Np_k - N:
+        zpad = ((0, 0), (0, Np_k - N), (0, 0))
+        k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+    bq = Np_q if Np_q == Np_k and _full_seq_block(Np_q, block_q) \
+        else _packed_block_q2(Np_q, Np_k, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     G = _LANE_GROUP
     inv = (127.0 / jnp.maximum(jnp.asarray(out_amax, jnp.float32),
@@ -398,15 +437,15 @@ def _flash_primal_packed_q8_impl(q, k, v, num_heads, scale, block_q,
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_nomax_packed_q8, scale=float(scale),
                           n_valid=N, head_dim=D),
-        grid=(B, C // G, Np // bq),
+        grid=(B, C // G, Np_q // bq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
-            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
-            pl.BlockSpec((1, Np, G), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, Np_k, G), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, Np_k, G), lambda b, g, qi: (b, 0, g)),
         ],
         out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((B, Np_q, C), jnp.int8),
     )(inv, q, k, v)
     return out[:, :N]
 

@@ -150,8 +150,13 @@ def _direction_transform(opt: str, betas, eps, momentum: float = 0.9
     name = opt.lower()
     if name in ("adamw", "adam"):
         return optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
-    if name in ("sgd", "momentum"):
-        return optax.trace(decay=momentum, nesterov=(name == "sgd"))
+    if name in ("nadam", "nadamw"):
+        # Nesterov-momentum Adam (timm Nadam, optim_factory.py:129-130)
+        return optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                                   nesterov=True)
+    if name in ("sgd", "nesterov", "momentum"):
+        return optax.trace(decay=momentum,
+                           nesterov=(name in ("sgd", "nesterov")))
     if name == "radam":
         return optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps)
     if name == "novograd":
@@ -171,8 +176,9 @@ def _direction_transform(opt: str, betas, eps, momentum: float = 0.9
     if name == "lion":
         return optax.scale_by_lion(b1=betas[0], b2=betas[1])
     raise ValueError(f"unknown optimizer {opt!r} (optim_factory.py menu: "
-                     "adamw/adam/sgd/momentum/radam/novograd/rmsprop/"
-                     "adadelta/adafactor/adabelief/lamb/lion)")
+                     "adamw/adam/nadam/sgd/nesterov/momentum/radam/"
+                     "novograd/rmsprop/adadelta/adafactor/adabelief/"
+                     "lamb/lion)")
 
 
 def create_optimizer(params, *, lr_schedule, wd_schedule=None,

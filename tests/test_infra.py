@@ -194,9 +194,9 @@ def test_optimizer_menu_variants():
 
     params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
     grads = {"w": jnp.full((4, 4), 0.5), "bias": jnp.full((4,), 0.1)}
-    for name in ("adamw", "adam", "sgd", "momentum", "radam", "novograd",
-                 "rmsprop", "adadelta", "adafactor", "adabelief", "lamb",
-                 "lion"):
+    for name in ("adamw", "adam", "nadam", "sgd", "nesterov", "momentum",
+                 "radam", "novograd", "rmsprop", "adadelta", "adafactor",
+                 "adabelief", "lamb", "lion"):
         tx = O.create_optimizer(params, lr_schedule=1e-2, opt=name)
         state = tx.init(params)
         updates, _ = tx.update(grads, state, params)
