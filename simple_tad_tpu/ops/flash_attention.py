@@ -360,10 +360,16 @@ def _pad_rows_qk(n: int, C: int, D: int, block_q: int):
     if (_full_seq_block(nk, block_q)
             or _packed_block_q2(nk, nk, C, D, block_q) >= 256):
         return nk, nk
+    # among candidate query pads, MINIMIZE GRID STEPS (ties -> smaller
+    # pad): the per-step overhead is the measured bound at N~2k (both
+    # ViT-B and IV2-B pay ~5.4 us/step beyond the MXU-ideal time;
+    # docs/ROOFLINE.md), so fewer bigger blocks beat less padding.
+    best = (_ceil_to(n, 256), 10 ** 9)
     for cand in range(nk, _ceil_to(n, 256) + 1, 8):
-        if _packed_block_q2(cand, nk, C, D, block_q) >= 256:
-            return cand, nk
-    return _ceil_to(n, 256), nk
+        bq = _packed_block_q2(cand, nk, C, D, block_q)
+        if bq >= 256 and -(-cand // bq) < best[1]:
+            best = (cand, cand // bq)
+    return best[0], nk
 
 
 
