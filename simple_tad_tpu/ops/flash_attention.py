@@ -381,6 +381,155 @@ def _full_seq_block(Np: int, block_q: int) -> bool:
     372.1; ViT-S bf16 1086.6 vs 982.6."""
     return block_q <= 0 and Np * Np * 4 <= 10_500_000
 
+
+def _kv_grid_plan(N: int, block_q: int):
+    """Full-sequence-query KEY-grid plan: (Np_q, Np_k, bk, n_kv) or None.
+
+    For sequences whose full-sequence fp32 score strip exceeds the VMEM
+    budget (N > ~1620 — InternVideo2's 2049 sliding-window tokens), the
+    single-pass design otherwise degrades to a multi-step QUERY grid that
+    re-reads all keys every step and runs at half the full-seq kernel's
+    effective rate (docs/ROOFLINE.md: IV2-B ~49.5 vs ViT-B ~102 TF/s).
+    Because the inference softmax is MAX-FREE (_fwd_kernel_nomax), partial
+    PV numerators and ones-row denominators over KEY blocks are exactly
+    additive — so keep the whole query sequence as ONE block and grid over
+    key blocks with an fp32 VMEM accumulator: identical MACs in ViT-like
+    full-sequence matmul shapes, fewer grid steps, and k/v DMA'd once
+    instead of once per query step.
+
+    SIMPLE_TAD_ATTN_KV_GRID: '0' disables; an integer >= 2 forces that
+    many key steps (interpret-mode tests); unset = automatic.
+    """
+    force = os.environ.get("SIMPLE_TAD_ATTN_KV_GRID", "")
+    if force == "0" or block_q > 0:
+        return None
+    Nq = _ceil_to(N, 8)
+    if force.isdigit() and int(force) >= 2:
+        n_kv = int(force)
+        bk = _ceil_to(-(-Nq // n_kv), 8)
+        return Nq, bk * n_kv, bk, n_kv
+    if _full_seq_block(Nq, block_q):
+        return None               # one single-pass block needs no grid
+    budget = 10_500_000           # same strip cap as _full_seq_block
+    for n_kv in range(2, 9):
+        bk = _ceil_to(-(-Nq // n_kv), 8)
+        if bk >= 128 and Nq * bk * 4 <= budget:
+            return Nq, bk * n_kv, bk, n_kv
+    return None
+
+
+def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim):
+    """Accumulate one key block's transposed-PV partials into scratch.
+
+    q (Nq, G) is the FULL padded query sequence (its scale/transpose per
+    step is a (Nq, D) pass — negligible next to the score matmul); k, v
+    (bk, G) are this grid step's key block.  acc_ref: (G//D, rows, Nq)
+    fp32 with rows = ceil8(D+1) — per head, rows 0..D-1 hold the
+    accumulated UNNORMALIZED output^T and row D the ones-row softmax
+    denominator (padded zero keys contribute exp2(0) = 1 there; the
+    finalize step subtracts the constant pad count, same trick as
+    _attend_rows)."""
+    D = head_dim
+    rows = _ceil_to(D + 1, 8)
+    for h in range(q.shape[-1] // D):
+        sl = slice(h * D, (h + 1) * D)
+        qt = (q[:, sl].astype(jnp.float32)
+              * (scale * LOG2E)).astype(q.dtype).T              # (D, Nq)
+        s = jax.lax.dot_general(
+            k[:, sl], qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (bk, Nq)
+        p = jnp.exp2(s)
+        row_id = jax.lax.broadcasted_iota(
+            jnp.int32, (rows - D, k.shape[0]), 0)
+        ones_row = (row_id == 0).astype(v.dtype)
+        vt_aug = jnp.concatenate([v[:, sl].T, ones_row], axis=0)
+        ot = jax.lax.dot_general(
+            vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (rows, Nq)
+
+        @pl.when(ki == 0)
+        def _init(h=h, ot=ot):
+            acc_ref[h] = ot
+
+        @pl.when(ki > 0)
+        def _accum(h=h, ot=ot):
+            acc_ref[h] += ot
+
+
+def _fwd_kernel_nomax_packed_kv(q_ref, k_ref, v_ref, o_ref, acc_ref, *,
+                                scale, n_pad, head_dim, n_kv):
+    """Key-grid packed inference kernel (bf16/f32 out): accumulate over
+    key blocks, normalize + write the output block on the last step (its
+    BlockSpec is constant over the kv axis, so it flushes once)."""
+    ki = pl.program_id(2)
+    _kv_attend_accumulate(q_ref[0], k_ref[0], v_ref[0], acc_ref, ki,
+                          scale=scale, head_dim=head_dim)
+    D = head_dim
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        for h in range(q_ref.shape[-1] // D):
+            acc = acc_ref[h]
+            denom = acc[D:D + 1] - n_pad if n_pad else acc[D:D + 1]
+            o_ref[0, :, h * D:(h + 1) * D] = (
+                acc[:D] / denom).T.astype(o_ref.dtype)
+
+
+def _fwd_kernel_nomax_packed_kv_q8(inv_ref, q_ref, k_ref, v_ref, o_ref,
+                                   acc_ref, *, scale, n_pad, head_dim,
+                                   n_kv):
+    """Key-grid packed kernel with the int8 output epilogue (see
+    _fwd_kernel_nomax_packed_q8)."""
+    ki = pl.program_id(2)
+    _kv_attend_accumulate(q_ref[0], k_ref[0], v_ref[0], acc_ref, ki,
+                          scale=scale, head_dim=head_dim)
+    D = head_dim
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        inv = inv_ref[0, 0]
+        for h in range(q_ref.shape[-1] // D):
+            acc = acc_ref[h]
+            denom = acc[D:D + 1] - n_pad if n_pad else acc[D:D + 1]
+            res = (acc[:D] / denom).T * inv
+            o_ref[0, :, h * D:(h + 1) * D] = jnp.clip(
+                jnp.round(res), -127, 127).astype(jnp.int8)
+
+
+def _kv_grid_call(q, k, v, plan, *, num_heads, scale, n_valid, inv=None):
+    """Shared pallas_call plumbing for the key-grid kernels.  q/k/v are
+    separate packed (B, N, C) operands already padded to the plan's
+    (Np_q, Np_k); returns (B, Np_q, C) in int8 (inv given) or q.dtype."""
+    B, Np_q, C = q.shape
+    D = C // num_heads
+    _, Np_k, bk, n_kv = plan
+    G = _LANE_GROUP
+    rows = _ceil_to(D + 1, 8)
+    kw = dict(scale=float(scale), n_pad=Np_k - n_valid, head_dim=D,
+              n_kv=n_kv)
+    specs = [
+        pl.BlockSpec((1, Np_q, G), lambda b, g, ki: (b, 0, g)),
+        pl.BlockSpec((1, bk, G), lambda b, g, ki: (b, ki, g)),
+        pl.BlockSpec((1, bk, G), lambda b, g, ki: (b, ki, g)),
+    ]
+    if inv is not None:
+        kernel = functools.partial(_fwd_kernel_nomax_packed_kv_q8, **kw)
+        specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs
+        args = (inv, q, k, v)
+        out_dtype = jnp.int8
+    else:
+        kernel = functools.partial(_fwd_kernel_nomax_packed_kv, **kw)
+        args = (q, k, v)
+        out_dtype = q.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C // G, n_kv),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, Np_q, G), lambda b, g, ki: (b, 0, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np_q, C), out_dtype),
+        scratch_shapes=[pltpu.VMEM((G // D, rows, Np_q), jnp.float32)],
+    )(*args)
+
 def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     """Transpose-free inference forward on the packed (B, N, C) layout
     (C = H*Dh): grid over (batch, 128-lane head group, query block).
@@ -391,6 +540,19 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     """
     B, N, C = q.shape
     D = C // num_heads
+    plan = _kv_grid_plan(N, block_q) \
+        if D % 128 and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
+        else None
+    if plan is not None:
+        Np_q, Np_k = plan[0], plan[1]
+        if Np_q - N:
+            q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
+        if Np_k - N:
+            zpad = ((0, 0), (0, Np_k - N), (0, 0))
+            k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+        out = _kv_grid_call(q, k, v, plan, num_heads=num_heads,
+                            scale=scale, n_valid=N)
+        return out[:, :N]
     Np_q, Np_k = _pad_rows_qk(N, C, D, block_q)
     if Np_q - N:
         q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
@@ -428,6 +590,21 @@ def _flash_primal_packed_q8_impl(q, k, v, num_heads, scale, block_q,
     """
     B, N, C = q.shape
     D = C // num_heads
+    inv = (127.0 / jnp.maximum(jnp.asarray(out_amax, jnp.float32),
+                               1e-12)).reshape(1, 1)
+    plan = _kv_grid_plan(N, block_q) \
+        if D % 128 and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
+        else None
+    if plan is not None:
+        Np_q, Np_k = plan[0], plan[1]
+        if Np_q - N:
+            q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
+        if Np_k - N:
+            zpad = ((0, 0), (0, Np_k - N), (0, 0))
+            k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+        out = _kv_grid_call(q, k, v, plan, num_heads=num_heads,
+                            scale=scale, n_valid=N, inv=inv)
+        return out[:, :N]
     Np_q, Np_k = _pad_rows_qk(N, C, D, block_q)
     if Np_q - N:
         q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
@@ -438,8 +615,6 @@ def _flash_primal_packed_q8_impl(q, k, v, num_heads, scale, block_q,
         else _packed_block_q2(Np_q, Np_k, C, D, block_q)
     assert bq > 0, "caller gates on _packed_block_q before dispatching here"
     G = _LANE_GROUP
-    inv = (127.0 / jnp.maximum(jnp.asarray(out_amax, jnp.float32),
-                               1e-12)).reshape(1, 1)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_nomax_packed_q8, scale=float(scale),
                           n_valid=N, head_dim=D),

@@ -388,6 +388,68 @@ def test_flash_q8_output_epilogue_matches_quantized_naive(packed_qkv):
     np.testing.assert_allclose(np.asarray(got, np.int32), want, atol=1)
 
 
+def test_kv_grid_plan_geometry():
+    """Auto key-grid plan: triggers exactly where the full-sequence block
+    does not fit, keeps the fp32 score strip under the VMEM budget, and
+    covers every key."""
+    from simple_tad_tpu.ops.flash_attention import (_kv_grid_plan,
+                                                    _full_seq_block,
+                                                    _ceil_to)
+    for n in (1569, 2049, 2056, 3000, 4096):
+        plan = _kv_grid_plan(n, 0)
+        nq = _ceil_to(n, 8)
+        if _full_seq_block(nq, 0):
+            assert plan is None
+            continue
+        assert plan is not None, n
+        np_q, np_k, bk, n_kv = plan
+        assert np_q == nq and bk % 8 == 0 and bk * n_kv == np_k >= nq
+        assert np_q * bk * 4 <= 10_500_000
+    assert _kv_grid_plan(1568, 0) is None       # ViT: single-pass block
+    assert _kv_grid_plan(2049, 784) is None     # explicit block_q wins
+
+
+@pytest.mark.parametrize("n_kv", [2, 3])
+def test_kv_grid_forward_matches_naive(monkeypatch, n_kv):
+    """Forced key-grid kernel == naive attention, with key padding that
+    exercises the additive ones-row denominator + global pad correction
+    (N=250 -> Np_k spans blocks; the pad sits entirely in the last)."""
+    from simple_tad_tpu.ops.flash_attention import _flash_primal_packed_impl
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_KV_GRID", str(n_kv))
+    B, n, H, D = 2, 250, 2, 64
+    C = H * D
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), B, n, H, D)
+    scale = D ** -0.5
+    want = _naive_attention(q, k, v, scale).reshape(B, n, C)
+    pk = lambda t: t.reshape(B, n, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_primal_packed_impl(pk(q), pk(k), pk(v), H, scale, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_kv_grid_q8_epilogue_matches_quantized_naive(monkeypatch):
+    """Forced key-grid kernel with the int8 output epilogue: within one
+    quantization step of quantize(naive)."""
+    from simple_tad_tpu.ops.flash_attention import (
+        _flash_primal_packed_q8_impl)
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_KV_GRID", "3")
+    B, n, H, D = 1, 250, 2, 64
+    C = H * D
+    q, k, v = _rand_qkv(jax.random.PRNGKey(12), B, n, H, D)
+    scale = D ** -0.5
+    want_f = _naive_attention(q, k, v, scale)
+    amax = float(jnp.max(jnp.abs(want_f))) * 1.02
+    want = np.clip(np.round(np.asarray(want_f, np.float32).reshape(B, n, C)
+                            * (127.0 / amax)), -127, 127)
+    pk = lambda t: t.reshape(B, n, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_primal_packed_q8_impl(pk(q), pk(k), pk(v), H,
+                                           scale, 0, amax)
+    assert got.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(got, np.int32), want, atol=1)
+
+
 def test_pad_rows_qk_decoupled():
     """Separate-operand kernels pad queries and keys independently: keys
     only need 8-sublane alignment, queries the smallest length with a
