@@ -45,6 +45,8 @@ def get_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--layer_decay", type=float, default=0.75)
     p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--opt", default="adamw",
+                   help="optimizer menu (run_class_finetuning.py:56)")
     p.add_argument("--drop_path", type=float, default=0.1)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
@@ -185,7 +187,7 @@ def main(argv=None):
                             weight_decay=args.weight_decay,
                             layer_decay=args.layer_decay,
                             depth=model.cfg.depth, clip_grad=args.clip_grad,
-                            freeze_layers=freeze or None)
+                            freeze_layers=freeze or None, opt=args.opt)
     step_fn = make_finetune_train_step(model, tx, criterion)
     state = replicate(
         TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1)))

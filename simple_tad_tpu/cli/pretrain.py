@@ -154,7 +154,7 @@ def main(argv=None):
                             wd_schedule=O.array_schedule(wd_sched),
                             weight_decay=cfg.weight_decay,
                             betas=tuple(cfg.opt_betas), eps=cfg.opt_eps,
-                            clip_grad=cfg.clip_grad)
+                            clip_grad=cfg.clip_grad, opt=cfg.opt)
     if cfg.update_freq > 1:
         import optax
         tx = optax.MultiSteps(tx, cfg.update_freq)

@@ -162,7 +162,12 @@ def _direction_transform(opt: str, betas, eps, momentum: float = 0.9
     if name == "novograd":
         return optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps)
     if name in ("rmsprop", "rmsproptf"):
-        return optax.scale_by_rms(decay=0.9, eps=eps)
+        # torch.optim.RMSprop semantics (optim_factory.py:145: alpha=0.9,
+        # momentum=args.momentum): eps OUTSIDE the sqrt, then a momentum
+        # accumulator over the scaled step.
+        return optax.chain(
+            optax.scale_by_rms(decay=0.9, eps=eps, eps_in_sqrt=False),
+            optax.trace(decay=momentum))
     if name == "adadelta":
         return optax.scale_by_adadelta(eps=eps)
     if name == "adafactor":
