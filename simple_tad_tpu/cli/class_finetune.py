@@ -47,6 +47,8 @@ def get_args(argv=None):
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--opt", default="adamw",
                    help="optimizer menu (run_class_finetuning.py:56)")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="sgd/rmsprop momentum (run_class_finetuning.py:64)")
     p.add_argument("--drop_path", type=float, default=0.1)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
@@ -187,7 +189,8 @@ def main(argv=None):
                             weight_decay=args.weight_decay,
                             layer_decay=args.layer_decay,
                             depth=model.cfg.depth, clip_grad=args.clip_grad,
-                            freeze_layers=freeze or None, opt=args.opt)
+                            freeze_layers=freeze or None, opt=args.opt,
+                            momentum=args.momentum)
     step_fn = make_finetune_train_step(model, tx, criterion)
     state = replicate(
         TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1)))

@@ -192,7 +192,7 @@ def create_optimizer(params, *, lr_schedule, wd_schedule=None,
                      betas: Tuple[float, float] = (0.9, 0.999),
                      eps: float = 1e-8, clip_grad: Optional[float] = None,
                      freeze_layers: Optional[str] = None,
-                     opt: str = "adamw",
+                     opt: str = "adamw", momentum: float = 0.9,
                      ) -> optax.GradientTransformation:
     """AdamW (default) matching the reference's effective update; --opt
     selects the alternatives from the reference optimizer menu.
@@ -212,7 +212,7 @@ def create_optimizer(params, *, lr_schedule, wd_schedule=None,
     chain = []
     if clip_grad:
         chain.append(optax.clip_by_global_norm(clip_grad))
-    chain.append(_direction_transform(opt, betas, eps))
+    chain.append(_direction_transform(opt, betas, eps, momentum=momentum))
     chain.append(_add_decayed_weights_scheduled(
         wd_schedule, weight_decay_mask(params)))
     if layer_decay < 1.0:

@@ -87,6 +87,19 @@ def test_menu_smoke(name):
             assert u.shape == v.shape and np.isfinite(u).all(), (name, n)
 
 
+def test_momentum_plumbs_through():
+    """--momentum (run_class_finetuning.py:64) reaches the sgd/rmsprop
+    accumulators: a non-default value still matches torch exactly."""
+    params = _tree()
+    grads_steps = [_tree(seed=30 + i) for i in range(3)]
+    got = _optax_updates(params, grads_steps, "momentum", momentum=0.5)
+    want = _torch_deltas(params, grads_steps,
+                         lambda ps: torch.optim.SGD(ps, lr=1.0, momentum=0.5))
+    for g, w in zip(got, want):
+        for n in params:
+            np.testing.assert_allclose(g[n], w[n], atol=1e-6, rtol=1e-5)
+
+
 def test_unknown_opt_raises():
     with pytest.raises(ValueError, match="unknown optimizer"):
         O._direction_transform("adahessian", (0.9, 0.999), 1e-8)
