@@ -540,8 +540,11 @@ def _flash_primal_packed_impl(q, k, v, num_heads, scale, block_q):
     """
     B, N, C = q.shape
     D = C // num_heads
+    # key-grid gate: the transposed accumulate slices heads WITHIN one
+    # 128-lane group, so it is exact iff D divides the group — D=64
+    # (ViT/IV2-B/L) and D=128 (IV2-1B after the 88->128 lane pad)
     plan = _kv_grid_plan(N, block_q) \
-        if D % 128 and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
+        if 128 % D == 0 and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
         else None
     if plan is not None:
         Np_q, Np_k = plan[0], plan[1]
@@ -593,7 +596,7 @@ def _flash_primal_packed_q8_impl(q, k, v, num_heads, scale, block_q,
     inv = (127.0 / jnp.maximum(jnp.asarray(out_amax, jnp.float32),
                                1e-12)).reshape(1, 1)
     plan = _kv_grid_plan(N, block_q) \
-        if D % 128 and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
+        if 128 % D == 0 and not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
         else None
     if plan is not None:
         Np_q, Np_k = plan[0], plan[1]

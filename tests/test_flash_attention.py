@@ -428,6 +428,23 @@ def test_kv_grid_forward_matches_naive(monkeypatch, n_kv):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_kv_grid_forward_matches_naive_d128(monkeypatch):
+    """Key-grid kernel at head_dim 128 (one head per lane group — the
+    IV2-1B 88->128 padded geometry) == naive attention."""
+    from simple_tad_tpu.ops.flash_attention import _flash_primal_packed_impl
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_KV_GRID", "2")
+    B, n, H, D = 1, 250, 2, 128
+    C = H * D
+    q, k, v = _rand_qkv(jax.random.PRNGKey(13), B, n, H, D)
+    scale = D ** -0.5
+    want = _naive_attention(q, k, v, scale).reshape(B, n, C)
+    pk = lambda t: t.reshape(B, n, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_primal_packed_impl(pk(q), pk(k), pk(v), H, scale, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_kv_grid_q8_epilogue_matches_quantized_naive(monkeypatch):
     """Forced key-grid kernel with the int8 output epilogue: within one
     quantization step of quantize(naive)."""
