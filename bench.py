@@ -117,6 +117,43 @@ def bench_model(name, batches, quant, rng, stream_latency=False):
     return out
 
 
+def bench_iv2(batch, rng):
+    """InternVideo2-B int8 serving point (clips/s): 8-frame patch14
+    sliding windows over a 128-frame buffer, token-path gather (same
+    program as scripts/iv2_breakdown.py 'full')."""
+    import simple_tad_tpu as st
+    from simple_tad_tpu.eval.engine import half_kernel_tokens
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+    from simple_tad_tpu.utils.fold_norm import fold_normalization
+
+    model = st.create_model("internvideo2_base_patch14_224", num_classes=2,
+                            all_frames=8, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = fold_normalization(params)
+    xcal = jnp.asarray(rng.integers(0, 256, (2, 8, 224, 224, 3),
+                                    np.uint8)).astype(jnp.bfloat16)
+    model, params = quantize_and_calibrate(model, params, [xcal],
+                                           deterministic=True)
+
+    @jax.jit
+    def score(p, frames_u8, window_idx):
+        toks = half_kernel_tokens(frames_u8.astype(jnp.bfloat16),
+                                  p["patch_kernel"], p["patch_bias"],
+                                  14, 1, 1, jnp.bfloat16)
+        g = jnp.take(toks, window_idx, axis=0)
+        x = g.reshape(g.shape[0], -1, toks.shape[-1])
+        return model.apply({"params": p}, x, deterministic=True,
+                           tokens_input=True).astype(jnp.float32)
+
+    reps, per_rep = 3, 8
+    bufs = [jnp.asarray(rng.integers(0, 256, (128, 224, 224, 3), np.uint8))
+            for _ in range(reps * per_rep + 1)]
+    idx = jnp.asarray(np.stack([np.arange(i, i + 8)
+                                for i in range(batch)]) % 128, jnp.int32)
+    dt = _time_batched(score, params, bufs, idx, reps, per_rep)
+    return round(batch / dt, 1)
+
+
 def main():
     from simple_tad_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -133,6 +170,7 @@ def main():
             small["vit_s_int8_b96"] / A100_BASELINE_FPS, 2)
         small["vit_l_int8_b48"] = bench_model(
             "vit_large_patch16_224", (48,), True, rng)["48"]
+        small["iv2_b_int8_clips_per_sec_b48"] = bench_iv2(48, rng)
 
     sweep = {k: v for k, v in vitb_int8.items() if k.isdigit()}
     best_batch, best = max(sweep.items(), key=lambda kv: kv[1])

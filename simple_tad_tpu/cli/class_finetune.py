@@ -49,6 +49,11 @@ def get_args(argv=None):
                    help="optimizer menu (run_class_finetuning.py:56)")
     p.add_argument("--momentum", type=float, default=0.9,
                    help="sgd/rmsprop momentum (run_class_finetuning.py:64)")
+    p.add_argument("--opt_eps", type=float, default=1e-8,
+                   help="optimizer epsilon (run_class_finetuning.py:58)")
+    p.add_argument("--opt_betas", type=float, nargs="+",
+                   default=(0.9, 0.999),
+                   help="optimizer betas (run_class_finetuning.py:60)")
     p.add_argument("--drop_path", type=float, default=0.1)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
@@ -190,7 +195,8 @@ def main(argv=None):
                             layer_decay=args.layer_decay,
                             depth=model.cfg.depth, clip_grad=args.clip_grad,
                             freeze_layers=freeze or None, opt=args.opt,
-                            momentum=args.momentum)
+                            momentum=args.momentum, eps=args.opt_eps,
+                            betas=tuple(args.opt_betas))
     step_fn = make_finetune_train_step(model, tx, criterion)
     state = replicate(
         TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1)))
