@@ -63,6 +63,11 @@ def get_args(argv=None):
     p.add_argument("--test_num_segment", type=int, default=5)
     p.add_argument("--test_num_crop", type=int, default=3)
     p.add_argument("--finetune", default="")
+    p.add_argument("--head_label_map", default="",
+                   help="json list of 710-space indices remapping a "
+                        "K710-pretrained head to nb_classes 600/700 "
+                        "(k710/label_mixto{N}.json, run_finetuning.py:"
+                        "388-400); 400 slices automatically")
     # probing (run_linear_probing.py:548-573): freeze the trunk except the
     # last open_block_num blocks; the attention-pooling projector stays
     # frozen unless --open_clip_projector.  --freeze takes a raw
@@ -107,7 +112,13 @@ def main(argv=None):
                             attn_impl=args.attn_impl)
     params = model.init_params(jax.random.PRNGKey(args.seed))
     if args.finetune:
-        params = load_checkpoint_auto(args.finetune, model, params)
+        label_map = None
+        if args.head_label_map:
+            import json
+            with open(args.head_label_map) as f:
+                label_map = json.load(f)
+        params = load_checkpoint_auto(args.finetune, model, params,
+                                      head_label_map=label_map)
 
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)

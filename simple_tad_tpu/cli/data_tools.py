@@ -200,6 +200,42 @@ def convert_xlsx(src: str, dst: str, sheet: str = "annotation file"):
     return len(df)
 
 
+def prepare_anno_bdd(data_path: str, out_dir: str, *, setting: str = "",
+                     num_frames: int = 8, view_fps: int = 5,
+                     sampling_rate: int = 4, fps: int = 30):
+    """BDD100K prepared lists (data_tools/bdd100k/prepare_anno.py): scan the
+    videos for durations, enumerate views with RegularSequencerWithStart
+    (bdd100k.py:32,38-49; reference defaults new_length=8, target_fps=5,
+    new_step=4), and write
+
+      all_clips.txt           — relative video names, one per line
+                                (VideoMAE_BDD100K_prepared clips_txt)
+      all_dataset_samples.txt — ``clip_id,[f0, f1, ...]`` view lines
+                                (prepare_anno.py:42-49 / views_txt parser
+                                bdd100k.py:179-188)
+
+    ``setting`` optionally fixes the clip list/order from a split txt like
+    the reference's all.txt; otherwise the videos tree is scanned.  Feed the
+    outputs back via ``--clips_list``/``--view_list`` on the pretrain CLI.
+    """
+    from simple_tad_tpu.data.pretrain_datasets import (
+        PretrainWindowDataset, VideoFileSource, read_bdd_clips,
+        save_view_list)
+    names = read_bdd_clips(data_path, clips_list=setting or None)
+    paths = [os.path.join(data_path, "videos", n) for n in names]
+    source = VideoFileSource(paths)
+    ds = PretrainWindowDataset(source, view_len=num_frames,
+                               target_fps=view_fps, orig_fps=fps,
+                               view_step=sampling_rate, with_start=True)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "all_clips.txt"), "w") as f:
+        for n in names:
+            f.write(n + "\n")
+    save_view_list(ds.samples, os.path.join(out_dir,
+                                            "all_dataset_samples.txt"))
+    return names, ds.samples
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("simple_tad_tpu data tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -239,6 +275,18 @@ def main(argv=None):
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
     p.add_argument("--sheet", default="annotation file")
+    p = sub.add_parser("prepare-anno-bdd",
+                       help="scan BDD100K videos -> all_clips.txt + "
+                            "all_dataset_samples.txt (bdd100k/"
+                            "prepare_anno.py)")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--setting", default="",
+                   help="optional split txt fixing the clip list/order")
+    p.add_argument("--num_frames", type=int, default=8)
+    p.add_argument("--view_fps", type=int, default=5)
+    p.add_argument("--sampling_rate", type=int, default=4)
+    p.add_argument("--fps", type=int, default=30)
     p = sub.add_parser("prepare-views",
                        help="precompute pretrain view lists (the reference's"
                             " *_prepared datasets, bdd100k.py:164-188)")
@@ -282,6 +330,12 @@ def main(argv=None):
                                         args.out_dir, zfill=6,
                                         listed_role="val")
         print(f"train {len(train)} clips, val {len(val)} clips")
+    elif args.cmd == "prepare-anno-bdd":
+        names, samples = prepare_anno_bdd(
+            args.data_path, args.out_dir, setting=args.setting,
+            num_frames=args.num_frames, view_fps=args.view_fps,
+            sampling_rate=args.sampling_rate, fps=args.fps)
+        print(f"{len(names)} clips, {len(samples)} views -> {args.out_dir}")
     elif args.cmd == "convert-xlsx":
         n = convert_xlsx(args.src, args.dst, args.sheet)
         print(f"wrote {n} rows to {args.dst}")

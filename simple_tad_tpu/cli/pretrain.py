@@ -30,7 +30,7 @@ from simple_tad_tpu.config import PretrainConfig
 
 
 def _build_source(data_set: str, data_path: str, cfg,
-                  view_list: str = ""):
+                  view_list: str = "", clips_list: str = ""):
     from simple_tad_tpu.data.frame_datasets import (read_dada_clips,
                                                     read_dota_clips)
     from simple_tad_tpu.data.pretrain_datasets import (
@@ -43,9 +43,16 @@ def _build_source(data_set: str, data_path: str, cfg,
                                 orig_fps=30)
         source, orig_fps = ZipClipSource(clips), 30
     elif data_set == "BDD100K":
-        import glob
-        paths = sorted(glob.glob(os.path.join(data_path, "videos", "*")))
+        from simple_tad_tpu.data.pretrain_datasets import read_bdd_clips
+        names = read_bdd_clips(data_path, clips_list=clips_list or None)
+        paths = [os.path.join(data_path, "videos", n) for n in names]
         source, orig_fps = VideoFileSource(paths), 30
+        # BDD100K enumerates views with RegularSequencerWithStart
+        # (bdd100k.py:32,38-49); see PretrainWindowDataset docstring
+        return PretrainWindowDataset(
+            source, view_len=cfg.num_frames, target_fps=cfg.view_fps,
+            orig_fps=orig_fps, view_step=cfg.sampling_rate,
+            view_list=view_list or None, with_start=True)
     elif data_set in ("K700", "Kinetics-700", "Kinetics-400",
                       "K700_aligned"):
         # Kinetics MAE source (kinetics.py VideoMAE:463 / _aligned:850,
@@ -98,7 +105,8 @@ def main(argv=None):
     from simple_tad_tpu.parallel.mesh import data_parallel_setup
     n_dev, put, replicate = data_parallel_setup()
 
-    ds1 = _build_source(cfg.data_set, cfg.data_path, cfg, cfg.view_list)
+    ds1 = _build_source(cfg.data_set, cfg.data_path, cfg, cfg.view_list,
+                        cfg.clips_list)
     loader1 = PretrainLoader(ds1, cfg.batch_size * n_dev,
                              window_size=window_size,
                              mask_ratio=cfg.mask_ratio, seed=cfg.seed,
@@ -107,7 +115,7 @@ def main(argv=None):
     loader2 = None
     if cfg.data_set2:
         ds2 = _build_source(cfg.data_set2, cfg.data_path2, cfg,
-                            cfg.view_list2)
+                            cfg.view_list2, cfg.clips_list2)
         loader2 = PretrainLoader(
             ds2, (cfg.batch_size2 or cfg.batch_size) * n_dev,
             window_size=window_size, mask_ratio=cfg.mask_ratio,

@@ -159,6 +159,10 @@ class PretrainConfig:
     # duration scan at startup; see data.pretrain_datasets.load_view_list)
     view_list: str = ""
     view_list2: str = ""
+    # BDD100K: txt of relative video names fixing clip-id order (the
+    # prepared clips_txt, bdd100k.py:164-177); pairs with view_list
+    clips_list: str = ""
+    clips_list2: str = ""
     mask_type: str = "tube"
     mask_ratio: float = 0.9
     num_frames: int = 16

@@ -30,7 +30,8 @@ import numpy as np
 
 from simple_tad_tpu.data.frame_datasets import ClipInfo
 from simple_tad_tpu.data.masking import TubeMaskingGenerator
-from simple_tad_tpu.data.sequencing import RegularSequencer
+from simple_tad_tpu.data.sequencing import (RegularSequencer,
+                                            RegularSequencerWithStart)
 from simple_tad_tpu.data.zipreader import decode_zip_frames
 
 
@@ -147,6 +148,39 @@ class VideoFileSource:
         return np.stack([out[int(i)] for i in frame_idx])
 
 
+# bdd100k.py:20-22: extensions the reference scans for, plus the one video
+# it hard-removes from every split (corrupt in the released set)
+BDD_VIDEO_EXT = (".mov", ".mp4", ".avi", ".mkv")
+BDD_IGNORE_VIDEOS = ("val/c4742900-81aa45ae.mov",)
+
+
+def read_bdd_clips(data_path: str, clips_list: Optional[str] = None
+                   ) -> List[str]:
+    """Relative BDD100K video names under ``data_path``/videos.
+
+    With ``clips_list`` (a txt of relative names, one per line) this is
+    VideoMAE_BDD100K_prepared._make_dataset_snellius (bdd100k.py:171-177);
+    without, it scans the videos tree like the split files the reference
+    feeds _make_dataset_snellius (bdd100k.py:151-161), dropping the known
+    corrupt ``ignore_videos`` entry either way (bdd100k.py:21-22,157-159).
+    """
+    if clips_list:
+        with open(clips_list) as f:
+            names = [line.rstrip() for line in f if line.strip()]
+    else:
+        root = os.path.join(data_path, "videos")
+        names = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            for fn in filenames:
+                if fn.lower().endswith(BDD_VIDEO_EXT):
+                    names.append(fn if rel == "." else os.path.join(rel, fn))
+        names.sort()
+    names = [n for n in names if n not in BDD_IGNORE_VIDEOS]
+    assert names, f"no BDD100K videos found under {data_path}"
+    return names
+
+
 def load_view_list(path: str):
     """Read a precomputed (clip_idx, frame_indices) view list.
 
@@ -185,17 +219,25 @@ class PretrainWindowDataset:
     """Window enumeration over a frame source (RegularSequencer,
     dota.py:611-633).  Pass ``view_list`` to load precomputed views
     instead of scanning clip durations (the *_prepared variants,
-    bdd100k.py:164-188, dada.py:666-691)."""
+    bdd100k.py:164-188, dada.py:666-691).
+
+    ``with_start=True`` switches to RegularSequencerWithStart, which BDD100K
+    pretraining uses (bdd100k.py:32,38-49 — the sequencer built in __init__
+    is the one _prepare_views consumes there).  VideoMAE_DoTA also builds a
+    WithStart sequencer (dota.py:555) but its _prepare_views shadows it with
+    a fresh plain RegularSequencer (dota.py:619), so DoTA/DADA keep the
+    default False."""
 
     def __init__(self, source, *, view_len: int = 16, target_fps: int = 10,
                  orig_fps: int = 10, view_step: int = 4,
-                 view_list: Optional[str] = None):
+                 view_list: Optional[str] = None, with_start: bool = False):
         self.source = source
         if view_list:
             self.samples = load_view_list(view_list)
             return
-        seq = RegularSequencer(seq_frequency=target_fps, seq_length=view_len,
-                               step=view_step)
+        seq_cls = RegularSequencerWithStart if with_start else RegularSequencer
+        seq = seq_cls(seq_frequency=target_fps, seq_length=view_len,
+                      step=view_step)
         self.samples = []
         for ci in range(len(source)):
             seqs = seq.get_sequences(source.num_frames(ci), orig_fps)

@@ -21,7 +21,7 @@ HuggingFace/MODEL_ZOO checkpoints work directly:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -117,15 +117,44 @@ def _convert_block_stack(sd: Mapping[str, np.ndarray], prefix: str,
     return blocks
 
 
+def _remap_710_head(head_w: np.ndarray, head_b: np.ndarray,
+                    num_classes: Optional[int],
+                    head_label_map: Optional[Sequence[int]]):
+    """K710-pretrained 710-row classifier head -> Kinetics finetune head
+    (IV2 reference run_finetuning.py:388-400): nb_classes=400 takes the
+    first 400 rows; 600/700 gather the rows named by ``head_label_map``
+    (the reference's k710/label_mixto{N}.json, a list of 710-space
+    indices).  Any other mismatch is returned unchanged for the caller's
+    drop-the-head rule."""
+    if (num_classes is None or head_w.shape[0] != 710
+            or num_classes == 710):
+        return head_w, head_b
+    if num_classes == 400:
+        return head_w[:400], head_b[:400]
+    if num_classes in (600, 700) and head_label_map is not None:
+        idx = np.asarray(head_label_map, np.int64)
+        assert idx.shape == (num_classes,), (
+            f"label map has {idx.shape[0]} entries, expected {num_classes}")
+        return head_w[idx], head_b[idx]
+    return head_w, head_b
+
+
 def torch_to_vit_params(sd: Mapping[str, np.ndarray], *, depth: int,
                         num_classes: Optional[int] = None,
-                        final_reduction: str = "fc_norm") -> Dict[str, Any]:
+                        final_reduction: str = "fc_norm",
+                        head_label_map: Optional[Sequence[int]] = None
+                        ) -> Dict[str, Any]:
     """Remapped torch state dict -> flax params for VisionTransformer.
 
     ``num_classes``: expected head width; a mismatched checkpoint head is
     dropped (caller keeps the freshly-initialized head, matching
-    run_frame_finetuning.py:414-417).  Returns a partial pytree — merge over
-    initialized params with merge_params().
+    run_frame_finetuning.py:414-417) — except a K710-pretrained 710-row
+    head, which the IV2 reference reuses for Kinetics finetunes
+    (run_finetuning.py:388-400): nb_classes=400 takes the first 400 rows;
+    600/700 gather the rows named by ``head_label_map`` (the reference's
+    k710/label_mixto{600,700}.json, a plain list of 710-space indices the
+    user supplies).  Returns a partial pytree — merge over initialized
+    params with merge_params().
     """
     sd = remap_finetune_keys(sd)
     params: Dict[str, Any] = {
@@ -147,9 +176,10 @@ def torch_to_vit_params(sd: Mapping[str, np.ndarray], *, depth: int,
             params["norm"] = {"scale": sd["norm.weight"],
                               "bias": sd["norm.bias"]}
     if "head.weight" in sd:
-        head_w = sd["head.weight"]
+        head_w, head_b = _remap_710_head(sd["head.weight"], sd["head.bias"],
+                                         num_classes, head_label_map)
         if num_classes is None or head_w.shape[0] == num_classes:
-            params["head"] = {"kernel": _t(head_w), "bias": sd["head.bias"]}
+            params["head"] = {"kernel": _t(head_w), "bias": head_b}
     if "cls_token" in sd:
         params["cls_token"] = sd["cls_token"]
     if "pos_embed" in sd:
@@ -232,7 +262,9 @@ def merge_params(init_params: Dict[str, Any],
 
 
 def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
-                        num_classes: Optional[int] = None) -> Dict[str, Any]:
+                        num_classes: Optional[int] = None,
+                        head_label_map: Optional[Sequence[int]] = None
+                        ) -> Dict[str, Any]:
     """One-call loader: read .pth, remap, convert, merge over init params.
     Returns DEVICE arrays (numpy leaves in a jit arg would re-upload on
     every call)."""
@@ -242,7 +274,7 @@ def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
     loaded = torch_to_vit_params(
         sd, depth=cfg.depth,
         num_classes=num_classes if num_classes is not None else cfg.num_classes,
-        final_reduction=cfg.final_reduction)
+        final_reduction=cfg.final_reduction, head_label_map=head_label_map)
     if "pos_embed" in loaded and not cfg.use_learnable_pos_emb:
         loaded.pop("pos_embed")
     elif "pos_embed" in loaded:
@@ -484,11 +516,16 @@ def save_torch_checkpoint(params: Mapping[str, Any], path: str, *,
                           for k, v in sd.items()}}, path)
 
 
-def load_checkpoint_auto(path: str, model, params: Dict[str, Any]
+def load_checkpoint_auto(path: str, model, params: Dict[str, Any],
+                         head_label_map: Optional[Sequence[int]] = None
                          ) -> Dict[str, Any]:
     """Model-aware .pth loader: dispatches to the right converter for
     VisionTransformer / PretrainVideoMAE / InternVideo2 (the iv2 driver
-    family used its own loaders in the reference; one entry point here)."""
+    family used its own loaders in the reference; one entry point here).
+
+    ``head_label_map``: K710 head remap indices for 600/700-class
+    finetunes (run_finetuning.py:388-400; 400-class slicing is automatic).
+    """
     import jax
     from simple_tad_tpu.models.internvideo2 import InternVideo2
     from simple_tad_tpu.models.mae import PretrainVideoMAE
@@ -496,8 +533,12 @@ def load_checkpoint_auto(path: str, model, params: Dict[str, Any]
         sd = load_torch_state_dict(path)
         loaded = torch_to_iv2_params(sd, depth=model.cfg.depth)
         if "head" in loaded and "head" in params:
-            if (np.asarray(loaded["head"]["bias"]).shape
-                    != np.asarray(params["head"]["bias"]).shape):
+            nb = np.asarray(params["head"]["bias"]).shape[0]
+            w, b = _remap_710_head(
+                np.asarray(loaded["head"]["kernel"]).T,
+                np.asarray(loaded["head"]["bias"]), nb, head_label_map)
+            loaded["head"] = {"kernel": w.T, "bias": b}
+            if b.shape[0] != nb:
                 loaded.pop("head")
         return jax.device_put(merge_params(params, loaded))
     if isinstance(model, PretrainVideoMAE):
@@ -506,4 +547,5 @@ def load_checkpoint_auto(path: str, model, params: Dict[str, Any]
             sd, encoder_depth=model.cfg.encoder_depth,
             decoder_depth=model.cfg.decoder_depth)
         return jax.device_put(merge_params(params, loaded))
-    return load_vit_checkpoint(path, model, params)
+    return load_vit_checkpoint(path, model, params,
+                               head_label_map=head_label_map)

@@ -157,3 +157,97 @@ def test_prepare_anno_rejects_unknown_clips(tmp_path):
     with _pytest.raises(AssertionError):
         prepare_anno_split(str(full), str(orig), str(tmp_path / "o"),
                            zfill=3, listed_role="train")
+
+
+def _write_video(path, n_frames, h=32, w=48, fps=30):
+    import cv2
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    for t in range(n_frames):
+        wr.write(np.full((h, w, 3), (t * 7) % 255, np.uint8))
+    wr.release()
+
+
+@pytest.fixture(scope="module")
+def bdd_root(tmp_path_factory):
+    """Tiny BDD100K layout: videos/{train,val}/*.avi at 30 fps.
+
+    Durations are chosen so that at the reference's prepare_anno defaults
+    (new_length=8, target_fps=5, new_step=4) at least one clip triggers
+    RegularSequencerWithStart's extra t=0 window (first regular window
+    starting > 5 frames in) and one does not."""
+    root = str(tmp_path_factory.mktemp("bdd"))
+    _write_video(os.path.join(root, "videos", "train", "a.avi"), 60)
+    _write_video(os.path.join(root, "videos", "train", "b.avi"), 74)
+    _write_video(os.path.join(root, "videos", "val", "c.avi"), 48)
+    return root
+
+
+def test_prepare_anno_bdd(bdd_root, tmp_path):
+    """CLI equivalent of data_tools/bdd100k/prepare_anno.py: all_clips.txt
+    + all_dataset_samples.txt, views from RegularSequencerWithStart."""
+    from simple_tad_tpu.cli.data_tools import main as dt_main
+    from simple_tad_tpu.data.pretrain_datasets import load_view_list
+    from simple_tad_tpu.data.sequencing import (RegularSequencer,
+                                                RegularSequencerWithStart)
+    out = tmp_path / "prepared"
+    dt_main(["prepare-anno-bdd", "--data_path", bdd_root,
+             "--out_dir", str(out)])
+    clips = (out / "all_clips.txt").read_text().splitlines()
+    assert clips == ["train/a.avi", "train/b.avi", "val/c.avi"]
+    samples = load_view_list(str(out / "all_dataset_samples.txt"))
+    # independent restatement: the with-start sequencer over the known
+    # durations (bdd100k.py:38-49)
+    seq = RegularSequencerWithStart(seq_frequency=5, seq_length=8, step=4)
+    expect = []
+    for ci, dur in enumerate([60, 74, 48]):
+        for s in seq.get_sequences(dur, 30) or []:
+            expect.append((ci, s))
+    assert len(samples) == len(expect)
+    for (ci, got), (ei, want) in zip(samples, expect):
+        assert ci == ei and list(got) == list(want)
+    # At the reference defaults (step=4) the WithStart extra-window branch
+    # can never fire (start = (T - actual_len) % 4 <= 3 <= 5); exercise the
+    # wiring at step=10, where the 60-frame clip starts 7 frames in
+    out2 = tmp_path / "prepared_s10"
+    dt_main(["prepare-anno-bdd", "--data_path", bdd_root,
+             "--out_dir", str(out2), "--sampling_rate", "10"])
+    s10 = load_view_list(str(out2 / "all_dataset_samples.txt"))
+    plain = RegularSequencer(seq_frequency=5, seq_length=8, step=10)
+    n_plain = sum(len(plain.get_sequences(d, 30) or [])
+                  for d in [60, 74, 48])
+    assert len(s10) == n_plain + 1
+    extra = [s for ci, s in s10 if ci == 0 and s[0] == 0]
+    assert len(extra) == 1 and list(extra[0]) == list(range(0, 48, 6))
+
+
+def test_bdd_pretrain_source_roundtrip(bdd_root, tmp_path):
+    """pretrain _build_source BDD100K: scan and prepared (clips_list +
+    view_list) agree; with_start wired (bdd100k.py:32)."""
+    from simple_tad_tpu.cli.data_tools import prepare_anno_bdd
+    from simple_tad_tpu.cli.pretrain import _build_source
+
+    class _Cfg:
+        num_frames = 8
+        view_fps = 5
+        sampling_rate = 4
+    out = tmp_path / "prep"
+    prepare_anno_bdd(bdd_root, str(out))
+    scanned = _build_source("BDD100K", bdd_root, _Cfg)
+    prepared = _build_source(
+        "BDD100K", bdd_root, _Cfg,
+        view_list=str(out / "all_dataset_samples.txt"),
+        clips_list=str(out / "all_clips.txt"))
+    assert len(scanned) == len(prepared) > 0
+    for (ci, s), (cj, t) in zip(scanned.samples, prepared.samples):
+        assert ci == cj and list(s) == list(t)
+    assert scanned.source.paths == prepared.source.paths
+
+
+def test_read_bdd_clips_ignore_list(tmp_path):
+    """bdd100k.py:21-22: the known corrupt video is dropped."""
+    from simple_tad_tpu.data.pretrain_datasets import read_bdd_clips
+    _write_video(str(tmp_path / "videos" / "val" /
+                     "c4742900-81aa45ae.mov"), 10)
+    _write_video(str(tmp_path / "videos" / "val" / "ok.mov"), 10)
+    assert read_bdd_clips(str(tmp_path)) == ["val/ok.mov"]

@@ -189,3 +189,31 @@ def test_learnable_pos_embed_interpolated_on_geometry_change(tmp_path):
     # resampled, not re-initialized
     assert not np.allclose(np.asarray(loaded["pos_embed"]),
                            np.asarray(params["pos_embed"]))
+
+
+def test_k710_head_remap():
+    """run_finetuning.py:388-400: a K710 head is sliced for nb_classes=400
+    and label-map gathered for 600/700; other mismatches still drop."""
+    sd_np = {k: v.numpy() for k, v in torch_ref.make_vit_state_dict(
+        0, 64, 1, 2, num_classes=710).items()}
+    # 400: first rows
+    loaded = tc.torch_to_vit_params(sd_np, depth=1, num_classes=400)
+    assert loaded["head"]["bias"].shape == (400,)
+    np.testing.assert_array_equal(loaded["head"]["bias"],
+                                  sd_np["head.bias"][:400])
+    np.testing.assert_array_equal(loaded["head"]["kernel"],
+                                  sd_np["head.weight"][:400].T)
+    # 700: gather by the user-supplied map
+    rng = np.random.default_rng(3)
+    label_map = rng.permutation(710)[:700].tolist()
+    loaded = tc.torch_to_vit_params(sd_np, depth=1, num_classes=700,
+                                    head_label_map=label_map)
+    np.testing.assert_array_equal(loaded["head"]["bias"],
+                                  sd_np["head.bias"][label_map])
+    np.testing.assert_array_equal(loaded["head"]["kernel"],
+                                  sd_np["head.weight"][label_map].T)
+    # 700 without a map, or a non-710 mismatch: dropped as before
+    assert "head" not in tc.torch_to_vit_params(sd_np, depth=1,
+                                                num_classes=700)
+    assert "head" not in tc.torch_to_vit_params(sd_np, depth=1,
+                                                num_classes=17)
