@@ -56,7 +56,8 @@ def _time(fn, p, bufs, idx, reps=3, per_rep=8):
 
 
 KNOBS = ("SIMPLE_TAD_ABLATE_ATTN", "SIMPLE_TAD_ABLATE_LN",
-         "SIMPLE_TAD_ABLATE_MLP")
+         "SIMPLE_TAD_ABLATE_MLP", "SIMPLE_TAD_ABLATE_QKV",
+         "SIMPLE_TAD_ABLATE_PROJ")
 
 
 def main():
@@ -66,7 +67,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="skip int8 quantization (bf16 program)")
     ap.add_argument("--variants", nargs="+",
-                    default=["full", "no_attn", "no_ln", "no_mlp", "gather"])
+                    default=["full", "no_attn", "no_ln", "no_mlp", "no_qkv",
+                             "no_proj", "tokens_only", "embed_only",
+                             "gather"])
     args = ap.parse_args()
 
     import simple_tad_tpu as st
@@ -101,8 +104,44 @@ def main():
             os.environ["SIMPLE_TAD_ABLATE_LN"] = "1"
         elif variant == "no_mlp":
             os.environ["SIMPLE_TAD_ABLATE_MLP"] = "1"
+        elif variant == "no_qkv":
+            os.environ["SIMPLE_TAD_ABLATE_QKV"] = "1"
+        elif variant == "no_proj":
+            os.environ["SIMPLE_TAD_ABLATE_PROJ"] = "1"
 
-        if variant == "gather":
+        if variant in ("tokens_only", "embed_only"):
+            # split the embed+gather front end out of the program:
+            #   tokens_only — frames are pre-embedded OUTSIDE the timed fn
+            #                 (full - tokens_only = half_kernel_tokens cost)
+            #   embed_only  — embed + window gather alone, no transformer
+            from simple_tad_tpu.eval.engine import half_kernel_tokens
+            tb = model.cfg.tubelet_size
+            pe = params["patch_embed"]
+
+            def embed(frames_u8):
+                return half_kernel_tokens(frames_u8.astype(jnp.bfloat16),
+                                          pe["kernel"], pe["bias"], 16, tb,
+                                          1, jnp.bfloat16)
+
+            if variant == "tokens_only":
+                tok_bufs = [jax.jit(embed)(b) for b in bufs]
+                jax.block_until_ready(tok_bufs)
+
+                @jax.jit
+                def score(p, toks, window_idx):
+                    g = jnp.take(toks, window_idx[:, ::tb], axis=0)
+                    x = g.reshape(g.shape[0], -1, toks.shape[-1])
+                    return model.apply({"params": p}, x, deterministic=True,
+                                       tokens_input=True).astype(jnp.float32)
+                dt = _time(score, params, tok_bufs, idx)
+            else:
+                @jax.jit
+                def score(p, frames_u8, window_idx):
+                    toks = embed(frames_u8)
+                    g = jnp.take(toks, window_idx[:, ::tb], axis=0)
+                    return jnp.sum(g, axis=(1, 2), dtype=jnp.float32)
+                dt = _time(score, params, bufs, idx)
+        elif variant == "gather":
             from simple_tad_tpu.models.layers import PatchEmbed
             pe = PatchEmbed(embed_dim=768, dtype=jnp.bfloat16)
             pep = pe.init(jax.random.PRNGKey(0),
@@ -140,7 +179,7 @@ def main():
     full = results.get("full")
     if full:
         deltas = {k: round(full - v, 2) for k, v in results.items()
-                  if k not in ("full", "gather")}
+                  if k not in ("full", "gather", "embed_only")}
         print(json.dumps({"batch": args.batch, "full_ms": full,
                           "component_ms": deltas,
                           "gather_ms": results.get("gather")}))

@@ -97,8 +97,9 @@ def main(argv=None):
                             drop_path_rate=cfg.drop_path,
                             dtype=dtype, attn_impl=cfg.attn_impl,
                             remat=cfg.use_checkpoint)
+    patch = model.cfg.patch_size     # 16 (VideoMAE/MVD) or 14 (IV2 DAPT)
     window_size = (cfg.num_frames // cfg.tubelet_size,
-                   cfg.input_size // 16, cfg.input_size // 16)
+                   cfg.input_size // patch, cfg.input_size // patch)
 
     # cfg.batch_size is per-device (the reference's per-GPU batch);
     # loader batches are global and sharded over a 1-D data mesh
@@ -132,13 +133,19 @@ def main(argv=None):
     params = model.init(jax.random.PRNGKey(cfg.seed), dummy,
                         jnp.asarray(dummy_mask), num_masked)["params"]
     if cfg.from_ckpt:
-        from simple_tad_tpu.utils.torch_convert import (load_torch_state_dict,
-                                                        merge_params,
-                                                        torch_to_mae_params)
+        from simple_tad_tpu.utils.torch_convert import (
+            load_torch_state_dict, merge_params, torch_to_iv2_mae_params,
+            torch_to_mae_params)
         sd = load_torch_state_dict(cfg.from_ckpt)
-        loaded = torch_to_mae_params(sd,
-                                     encoder_depth=model.cfg.encoder_depth,
-                                     decoder_depth=model.cfg.decoder_depth)
+        if hasattr(model.cfg, "qk_normalization"):   # IV2 DAPT trunk
+            loaded = torch_to_iv2_mae_params(
+                sd, encoder_depth=model.cfg.encoder_depth,
+                decoder_depth=model.cfg.decoder_depth,
+                encoder_dim=model.cfg.encoder_embed_dim)
+        else:
+            loaded = torch_to_mae_params(
+                sd, encoder_depth=model.cfg.encoder_depth,
+                decoder_depth=model.cfg.decoder_depth)
         params = merge_params(params, loaded)
         print(f"warm-started from {cfg.from_ckpt}")
 

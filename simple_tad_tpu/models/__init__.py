@@ -83,6 +83,24 @@ def _register_vit():
                 decoder_embed_dim=ddim, decoder_num_heads=dheads,
                 decoder_num_classes=1536, mlp_ratio=4.0, qkv_bias=True,
                 pos_embed_kind="3d"))
+    # IV2 DAPT: VideoMAE-style pixel reconstruction on the InternVideo2
+    # trunk (patch 14, tubelet 1, bias-free qkv, RMSNorm/QK-norm blocks,
+    # LayerScale 1e-5).  The reference registers only the S geometry
+    # (internvideo2_pretrain_videomae.py:356-365); the size variants
+    # follow the same decoder convention as an extension.
+    _REGISTRY["pretrain_videomae_internvideo2_patch14_224"] = (
+        "iv2_mae", dict(
+            img_size=224, patch_size=14, encoder_embed_dim=384,
+            encoder_depth=12, encoder_num_heads=6, decoder_embed_dim=192,
+            decoder_num_heads=3, decoder_num_classes=588, mlp_ratio=4.0))
+    for size, (dim, depth, heads) in _VIT_SIZES.items():
+        ddim, dheads = _MAE_DECODER[size]
+        _REGISTRY[f"pretrain_videomae_internvideo2_{size}_patch14_224"] = (
+            "iv2_mae", dict(
+                img_size=224, patch_size=14, encoder_embed_dim=dim,
+                encoder_depth=depth, encoder_num_heads=heads,
+                decoder_embed_dim=ddim, decoder_num_heads=dheads,
+                decoder_num_classes=588, mlp_ratio=4.0))
 
 
 _register_vit()
@@ -113,6 +131,10 @@ def create_model(name: str, **overrides):
     if kind == "mae":
         from simple_tad_tpu.models.mae import MAEConfig, PretrainVideoMAE
         return PretrainVideoMAE(MAEConfig(**_fit(MAEConfig, kw)))
+    if kind == "iv2_mae":
+        from simple_tad_tpu.models.mae import (IV2MAEConfig,
+                                               PretrainIV2VideoMAE)
+        return PretrainIV2VideoMAE(IV2MAEConfig(**_fit(IV2MAEConfig, kw)))
     if kind == "iv2":
         from simple_tad_tpu.models.internvideo2 import (InternVideo2,
                                                         IV2Config)

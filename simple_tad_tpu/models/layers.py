@@ -312,10 +312,17 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        import os
         B, N, C = x.shape
         head_dim = self.attn_head_dim or C // self.num_heads
         all_head_dim = head_dim * self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
+        # measurement knobs for the remainder-bucket decomposition
+        # (scripts/perf_breakdown.py): ablate one GEMM while keeping the
+        # same producers/consumers and materialized buffer shapes, so the
+        # full-vs-ablated delta isolates that GEMM's compute cost.
+        ablate_qkv = bool(os.environ.get("SIMPLE_TAD_ABLATE_QKV"))
+        ablate_proj = bool(os.environ.get("SIMPLE_TAD_ABLATE_PROJ"))
 
         qkv_bias_vec = None
         if self.qkv_bias:
@@ -334,7 +341,17 @@ class Attention(nn.Module):
                                (3 * all_head_dim,))
             if self.quant_mode == "static":
                 amax = self.param("act_amax", nn.initializers.ones, ())
-                if use_fused_w8a8(C, 3 * all_head_dim) \
+                if ablate_qkv:
+                    # zero-GEMM stand-in: dequantize x and tile it to the
+                    # qkv width — same producers read, same (B, N, 3C)
+                    # buffer materialized for the attention kernel
+                    xf = x.astype(self.dtype)
+                    if x.dtype == jnp.int8:
+                        xf = xf * (amax.astype(self.dtype)
+                                   / jnp.asarray(127.0, self.dtype))
+                    qkv = jnp.concatenate([xf] * (3 * all_head_dim // C),
+                                          axis=-1)
+                elif use_fused_w8a8(C, 3 * all_head_dim) \
                         and x.dtype != jnp.int8:
                     qkv = w8a8_gemm(x, qkv_q, qkv_s, amax,
                                     bias=qkv_bias_vec, out_dtype=self.dtype)
@@ -362,12 +379,17 @@ class Attention(nn.Module):
         else:
             qkv_kernel = self.param("qkv_kernel", trunc_normal_init(0.02),
                                     (C, 3 * all_head_dim))
-            qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
-                          preferred_element_type=self.dtype)
+            if ablate_qkv:
+                qkv = jnp.concatenate(
+                    [x.astype(self.dtype)] * (3 * all_head_dim // C), axis=-1)
+            else:
+                qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
+                              preferred_element_type=self.dtype)
         if qkv_bias_vec is not None:
             qkv = qkv + qkv_bias_vec.astype(self.dtype)
 
         dropout_rng = None
+        out_amax = None
         if self.attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
         from simple_tad_tpu.ops.attention import (dot_product_attention_qkv,
@@ -412,9 +434,24 @@ class Attention(nn.Module):
                          init_fn=lambda: jnp.zeros(()))
 
         if self.quant:
-            out = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,
-                             out_dtype=self.dtype,
-                             name="proj")(out).astype(self.dtype)
+            proj = QuantDense(all_head_dim, self.dim, mode=self.quant_mode,
+                              out_dtype=self.dtype, name="proj")
+            if ablate_proj:
+                proj(None, params_only=True)   # register params, no GEMM
+                if out.dtype == jnp.int8 and out_amax is not None:
+                    # dequantize the kernel's int8 epilogue output
+                    out = out.astype(self.dtype) * (
+                        out_amax.astype(self.dtype)
+                        / jnp.asarray(127.0, self.dtype))
+                out = out.astype(self.dtype)[..., :self.dim]
+            else:
+                out = proj(out).astype(self.dtype)
+        elif ablate_proj:
+            nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02),
+                     bias_init=nn.initializers.zeros,
+                     name="proj")(jnp.zeros((1, 1, all_head_dim), self.dtype))
+            out = out.astype(self.dtype)[..., :self.dim]
         else:
             out = nn.Dense(self.dim, dtype=self.dtype,
                            kernel_init=trunc_normal_init(0.02),

@@ -26,6 +26,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from simple_tad_tpu.models.layers import (
     Block, LayerNormFp32, PatchEmbed, sincos_pos_embed, trunc_normal_init)
@@ -215,6 +216,185 @@ class PretrainVideoMAE(nn.Module):
             dim=cfg.decoder_embed_dim, depth=cfg.decoder_depth,
             num_heads=cfg.decoder_num_heads, mlp_ratio=cfg.mlp_ratio,
             qkv_bias=cfg.qkv_bias, qk_scale=cfg.qk_scale,
+            drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+            drop_path_rate=cfg.drop_path_rate, init_values=cfg.init_values,
+            attn_impl=cfg.attn_impl, dtype=cfg.dtype,
+            scan_blocks=cfg.scan_blocks, remat=cfg.remat,
+            name="decoder")(full, deterministic)
+        masked_feats = full[:, -num_masked:]
+        pred = nn.Dense(cfg.decoder_num_classes, dtype=jnp.float32,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="decoder_head")(masked_feats.astype(jnp.float32))
+        return pred
+
+
+@dataclasses.dataclass(frozen=True)
+class IV2MAEConfig:
+    """VideoMAE-style pixel-reconstruction DAPT for the InternVideo2 trunk.
+
+    Mirrors PretrainVideoMAEInternVideo2
+    (/root/reference/other_models/InternVideo2_single_modality/models/
+    internvideo2_pretrain_videomae.py:234-353) as wired by
+    iv2_run_mae_double_pretraining.py:167-185: IV2 encoder blocks (RMSNorm,
+    QK-normalization, fp32 LayerScale init 1e-5, bias-free qkv) over
+    visible tokens with a LEARNABLE sincos-initialized pos-embed and no
+    CLS token, a plain VideoMAE decoder (LayerNorm blocks, 1D sincos
+    table) at patch-14/tubelet-1 geometry, head predicting
+    3*tubelet*patch^2 = 588 pixels/token.
+    """
+    img_size: int = 224
+    patch_size: int = 14
+    in_chans: int = 3
+    encoder_embed_dim: int = 384
+    encoder_depth: int = 12
+    encoder_num_heads: int = 6
+    decoder_num_classes: int = 588    # 3 * tubelet * patch^2
+    decoder_embed_dim: int = 192
+    decoder_depth: int = 4
+    decoder_num_heads: int = 3
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False            # IV2 qkv is bias-free
+    qk_normalization: bool = True
+    init_values: float = 1e-5         # get_model forces 1e-5 (:182)
+    sep_pos_embed: bool = False
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    all_frames: int = 8
+    tubelet_size: int = 1
+    attn_impl: str = "auto"
+    dtype: Any = jnp.float32
+    scan_blocks: bool = True
+    remat: bool = False
+
+    def __post_init__(self):
+        assert self.decoder_num_classes == (
+            self.in_chans * self.tubelet_size * self.patch_size ** 2)
+
+    @property
+    def grid_size(self):
+        return (self.all_frames // self.tubelet_size,
+                self.img_size // self.patch_size,
+                self.img_size // self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        t, h, w = self.grid_size
+        return t * h * w
+
+
+class PretrainIV2VideoMAE(nn.Module):
+    cfg: IV2MAEConfig
+
+    @nn.compact
+    def __call__(self, x, mask, num_masked: int, deterministic: bool = True):
+        """x: (B, T, H, W, C) normalized video; mask: (B, N) bool
+        (True=masked, N = num_patches, no CLS slot — the pretrain encoder
+        drops the CLS token, internvideo2_pretrain_videomae.py:74).
+        Returns (B, num_masked, 588) pixel predictions in mask order."""
+        from simple_tad_tpu.models.internvideo2 import IV2Block
+        cfg = self.cfg
+        B = x.shape[0]
+        nt, nh, nw = cfg.grid_size
+        vis_idx, mask_idx = mask_partition(mask, num_masked)
+
+        # ----- IV2 patch embed (patch 14, tubelet 1; same reshape+matmul
+        # layout as models/internvideo2.py so converters are shared)
+        tokens = PatchEmbed(
+            embed_dim=cfg.encoder_embed_dim, patch_size=cfg.patch_size,
+            tubelet_size=cfg.tubelet_size, in_chans=cfg.in_chans,
+            dtype=cfg.dtype, name="encoder_patch_embed")(x)
+
+        # ----- learnable pos-embed, sincos-initialized (init_pos_embed,
+        # internvideo2_pretrain_videomae.py:127-151); no CLS row
+        if cfg.sep_pos_embed:
+            from simple_tad_tpu.models.layers import sincos_1d_mae
+
+            def init_sp(key, shape, dtype=jnp.float32):
+                gw, gh = np.meshgrid(np.arange(nh, dtype=np.float64),
+                                     np.arange(nh, dtype=np.float64))
+                emb = np.concatenate(
+                    [sincos_1d_mae(cfg.encoder_embed_dim // 2, gw),
+                     sincos_1d_mae(cfg.encoder_embed_dim // 2, gh)], axis=1)
+                return jnp.asarray(emb[None], dtype)
+
+            def init_t(key, shape, dtype=jnp.float32):
+                emb = sincos_1d_mae(cfg.encoder_embed_dim,
+                                    np.arange(nt, dtype=np.float64))
+                return jnp.asarray(emb[None], dtype)
+
+            pos_sp = self.param("pos_embed_spatial", init_sp,
+                                (1, nh * nw, cfg.encoder_embed_dim))
+            pos_t = self.param("pos_embed_temporal", init_t,
+                               (1, nt, cfg.encoder_embed_dim))
+            enc_pos = (jnp.tile(pos_sp, (1, nt, 1))
+                       + jnp.repeat(pos_t, nh * nw, axis=1))
+        else:
+            from simple_tad_tpu.models.layers import sincos_3d_pos_embed
+
+            def init_joint(key, shape, dtype=jnp.float32):
+                return jnp.asarray(
+                    sincos_3d_pos_embed(cfg.encoder_embed_dim, nh, nt),
+                    dtype)
+            enc_pos = self.param("pos_embed", init_joint,
+                                 (1, cfg.num_patches, cfg.encoder_embed_dim))
+        tokens = tokens + enc_pos.astype(cfg.dtype)
+        x_vis = _gather_tokens(tokens, vis_idx)
+
+        # ----- IV2 encoder blocks on visible tokens + final LayerNorm
+        # (norm_layer=LayerNorm(eps=1e-6), registry :362)
+        dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.encoder_depth)
+        block = IV2Block(cfg.encoder_embed_dim, cfg.encoder_num_heads,
+                         cfg.mlp_ratio, cfg.qkv_bias, cfg.init_values,
+                         cfg.qk_normalization, cfg.attn_impl,
+                         dtype=cfg.dtype, name="encoder_blocks")
+
+        def body(blk, carry, rate):
+            return blk(carry, rate, deterministic), None
+
+        if cfg.remat:
+            from simple_tad_tpu.models.layers import remat_policy
+            body = nn.remat(body, prevent_cse=False, policy=remat_policy())
+        if cfg.scan_blocks:
+            scan = nn.scan(
+                body, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True,
+                            "droppath": True},
+                in_axes=0, length=cfg.encoder_depth)
+            x_vis, _ = scan(block, x_vis, dpr)
+        else:
+            for i in range(cfg.encoder_depth):
+                x_vis = IV2Block(
+                    cfg.encoder_embed_dim, cfg.encoder_num_heads,
+                    cfg.mlp_ratio, cfg.qkv_bias, cfg.init_values,
+                    cfg.qk_normalization, cfg.attn_impl, dtype=cfg.dtype,
+                    name=f"encoder_blocks_{i}")(x_vis, dpr[i], deterministic)
+        x_vis = LayerNormFp32(cfg.encoder_embed_dim, dtype=cfg.dtype,
+                              name="encoder_norm")(x_vis)
+
+        # ----- encoder -> decoder, mask tokens, VideoMAE decoder + head
+        # (PretrainVideoMAEInternVideo2.forward :340-353 — identical
+        # assembly to the VideoMAE pretrain model)
+        x_vis = nn.Dense(cfg.decoder_embed_dim, use_bias=False,
+                         dtype=cfg.dtype,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         name="encoder_to_decoder")(x_vis)
+        dec_pos = jnp.asarray(
+            sincos_pos_embed(cfg.num_patches, cfg.decoder_embed_dim),
+            cfg.dtype)
+        dec_pos = jnp.broadcast_to(
+            dec_pos, (B, cfg.num_patches, cfg.decoder_embed_dim))
+        pos_vis = _gather_tokens(dec_pos, vis_idx)
+        pos_mask = _gather_tokens(dec_pos, mask_idx)
+        mask_token = self.param("mask_token", trunc_normal_init(0.02),
+                                (1, 1, cfg.decoder_embed_dim))
+        full = jnp.concatenate(
+            [x_vis + pos_vis,
+             mask_token.astype(cfg.dtype) + pos_mask], axis=1)
+        full = _BlockStack(
+            dim=cfg.decoder_embed_dim, depth=cfg.decoder_depth,
+            num_heads=cfg.decoder_num_heads, mlp_ratio=cfg.mlp_ratio,
+            qkv_bias=cfg.qkv_bias, qk_scale=None,
             drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
             drop_path_rate=cfg.drop_path_rate, init_values=cfg.init_values,
             attn_impl=cfg.attn_impl, dtype=cfg.dtype,

@@ -291,6 +291,45 @@ def load_vit_checkpoint(path: str, model, params: Dict[str, Any],
     return jax.device_put(merge_params(params, loaded))
 
 
+def _convert_iv2_block_stack(sd: Mapping[str, np.ndarray], prefix: str,
+                             depth: int) -> Dict[str, Any]:
+    """Collect torch IV2 '{prefix}{i}.' block params (RMSNorm scale-only,
+    LayerScale ls1/ls2.gamma, optional qkv bias and q/k-norm) into one
+    stacked pytree matching models/internvideo2.py IV2Block."""
+    def stack(fmt):
+        return _stack([sd[prefix + fmt.format(i)] for i in range(depth)])
+
+    blocks: Dict[str, Any] = {
+        "norm1": {"scale": stack("{}.norm1.weight")},
+        "norm2": {"scale": stack("{}.norm2.weight")},
+        "gamma_1": stack("{}.ls1.gamma"),
+        "gamma_2": stack("{}.ls2.gamma"),
+        "attn": {
+            "qkv": {"kernel": _stack(
+                [_t(sd[f"{prefix}{i}.attn.qkv.weight"])
+                 for i in range(depth)])},
+            "proj": {"kernel": _stack(
+                [_t(sd[f"{prefix}{i}.attn.proj.weight"])
+                 for i in range(depth)]),
+                "bias": stack("{}.attn.proj.bias")},
+        },
+        "fc1": {"kernel": _stack([_t(sd[f"{prefix}{i}.mlp.fc1.weight"])
+                                  for i in range(depth)]),
+                "bias": stack("{}.mlp.fc1.bias")},
+        "fc2": {"kernel": _stack([_t(sd[f"{prefix}{i}.mlp.fc2.weight"])
+                                  for i in range(depth)]),
+                "bias": stack("{}.mlp.fc2.bias")},
+    }
+    if f"{prefix}0.attn.qkv.bias" in sd:
+        blocks["attn"]["qkv"]["bias"] = stack("{}.attn.qkv.bias")
+    if f"{prefix}0.attn.q_norm.weight" in sd:
+        blocks["attn"]["q_norm"] = {
+            "scale": stack("{}.attn.q_norm.weight")}
+        blocks["attn"]["k_norm"] = {
+            "scale": stack("{}.attn.k_norm.weight")}
+    return blocks
+
+
 def torch_to_iv2_params(sd: Mapping[str, np.ndarray], *, depth: int
                         ) -> Dict[str, Any]:
     """Torch state dict -> flax params for InternVideo2
@@ -298,38 +337,7 @@ def torch_to_iv2_params(sd: Mapping[str, np.ndarray], *, depth: int
 
     Unlike VideoMAE, the IV2 pos-embed is a learnable parameter and IS
     loaded; RMSNorm layers carry only a weight (scale)."""
-
-    def stack(fmt):
-        return _stack([sd[fmt.format(i)] for i in range(depth)])
-
-    blocks: Dict[str, Any] = {
-        "norm1": {"scale": stack("blocks.{}.norm1.weight")},
-        "norm2": {"scale": stack("blocks.{}.norm2.weight")},
-        "gamma_1": stack("blocks.{}.ls1.gamma"),
-        "gamma_2": stack("blocks.{}.ls2.gamma"),
-        "attn": {
-            "qkv": {"kernel": _stack(
-                [_t(sd[f"blocks.{i}.attn.qkv.weight"])
-                 for i in range(depth)])},
-            "proj": {"kernel": _stack(
-                [_t(sd[f"blocks.{i}.attn.proj.weight"])
-                 for i in range(depth)]),
-                "bias": stack("blocks.{}.attn.proj.bias")},
-        },
-        "fc1": {"kernel": _stack([_t(sd[f"blocks.{i}.mlp.fc1.weight"])
-                                  for i in range(depth)]),
-                "bias": stack("blocks.{}.mlp.fc1.bias")},
-        "fc2": {"kernel": _stack([_t(sd[f"blocks.{i}.mlp.fc2.weight"])
-                                  for i in range(depth)]),
-                "bias": stack("blocks.{}.mlp.fc2.bias")},
-    }
-    if "blocks.0.attn.qkv.bias" in sd:
-        blocks["attn"]["qkv"]["bias"] = stack("blocks.{}.attn.qkv.bias")
-    if "blocks.0.attn.q_norm.weight" in sd:
-        blocks["attn"]["q_norm"] = {
-            "scale": stack("blocks.{}.attn.q_norm.weight")}
-        blocks["attn"]["k_norm"] = {
-            "scale": stack("blocks.{}.attn.k_norm.weight")}
+    blocks = _convert_iv2_block_stack(sd, "blocks.", depth)
 
     params: Dict[str, Any] = {
         "patch_kernel": _conv3d_to_patch_kernel(sd["patch_embed.proj.weight"]),
@@ -362,6 +370,84 @@ def torch_to_iv2_params(sd: Mapping[str, np.ndarray], *, depth: int
     if "head.weight" in sd:
         params["head"] = {"kernel": _t(sd["head.weight"]),
                          "bias": sd["head.bias"]}
+    return params
+
+
+def torch_to_iv2_mae_params(sd: Mapping[str, np.ndarray], *,
+                            encoder_depth: int, decoder_depth: int,
+                            encoder_dim: Optional[int] = None
+                            ) -> Dict[str, Any]:
+    """Torch state dict -> flax params for PretrainIV2VideoMAE (IV2 DAPT).
+
+    Two accepted formats, mirroring the reference warm-start surgery
+    (/root/reference/other_models/InternVideo2_single_modality/
+    iv2_run_mae_double_pretraining.py:295-360):
+
+      * a full DAPT checkpoint (keys ``encoder.*``, ``decoder.*``,
+        ``encoder_to_decoder.weight``, ``mask_token``) — everything loads;
+      * a plain IV2 trunk checkpoint (finetune/distilled; keys
+        ``patch_embed.*``, ``blocks.*``, ``pos_embed`` with CLS row,
+        ``fc_norm.*``) — encoder-only warm start: the CLS pos row is
+        dropped (:347) and ``fc_norm`` maps to the encoder final norm
+        (:355-358) when its width matches ``encoder_dim`` (the reference
+        relies on non-strict loading to skip the clip-projector-width
+        fc_norm of finetune checkpoints).
+
+    Returns a partial pytree for merge_params()."""
+    full = "encoder.patch_embed.proj.weight" in sd
+    if full:
+        params: Dict[str, Any] = {
+            "encoder_patch_embed": {
+                "kernel": _conv3d_to_patch_kernel(
+                    sd["encoder.patch_embed.proj.weight"]),
+                "bias": sd["encoder.patch_embed.proj.bias"],
+            },
+            "encoder_blocks": _convert_iv2_block_stack(
+                sd, "encoder.blocks.", encoder_depth),
+            "encoder_norm": {"scale": sd["encoder.norm.weight"],
+                             "bias": sd["encoder.norm.bias"]},
+            "encoder_to_decoder": {
+                "kernel": _t(sd["encoder_to_decoder.weight"])},
+            "mask_token": sd["mask_token"],
+            "decoder": {
+                "blocks": _convert_block_stack(sd, "decoder.blocks.",
+                                               decoder_depth),
+                "norm": {"scale": sd["decoder.norm.weight"],
+                         "bias": sd["decoder.norm.bias"]},
+            },
+            "decoder_head": {"kernel": _t(sd["decoder.head.weight"]),
+                             "bias": sd["decoder.head.bias"]},
+        }
+        for key in ("encoder.pos_embed", "encoder.pos_embed_spatial",
+                    "encoder.pos_embed_temporal"):
+            if key in sd:
+                params[key.split(".", 1)[1]] = sd[key]
+        return params
+
+    params = {
+        "encoder_patch_embed": {
+            "kernel": _conv3d_to_patch_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "encoder_blocks": _convert_iv2_block_stack(sd, "blocks.",
+                                                   encoder_depth),
+    }
+    if "pos_embed" in sd:
+        pos = np.asarray(sd["pos_embed"])
+        # trunk checkpoints carry a CLS pos row; the pretrain encoder has
+        # no CLS token (iv2_run_mae_double_pretraining.py:347)
+        params["pos_embed"] = pos[:, 1:, :]
+    for key in ("pos_embed_spatial", "pos_embed_temporal"):
+        if key in sd:
+            params[key] = sd[key]
+    if "fc_norm.weight" in sd and (
+            encoder_dim is None or sd["fc_norm.weight"].shape[0] == encoder_dim):
+        params["encoder_norm"] = {"scale": sd["fc_norm.weight"],
+                                  "bias": sd["fc_norm.bias"]}
+    elif "norm.weight" in sd and (
+            encoder_dim is None or sd["norm.weight"].shape[0] == encoder_dim):
+        params["encoder_norm"] = {"scale": sd["norm.weight"],
+                                  "bias": sd["norm.bias"]}
     return params
 
 
