@@ -167,6 +167,37 @@ def test_flash_qkv_direct_matches_sliced():
                                atol=1e-4, rtol=1e-3)
 
 
+def test_packed_train_path_matches_bh_layout(monkeypatch):
+    """The round-4 packed training fwd/bwd (no relayout copies, max-free
+    lse) must match the BH-layout path bit-for-tolerance, including the
+    multi-kv-step dq accumulation and padded sequences."""
+    from simple_tad_tpu.ops import flash_attention as fa
+    B, n, H, D = 2, 120, 2, 64           # pads to 128
+    C = H * D
+    qkv = jax.random.normal(jax.random.PRNGKey(7),
+                            (B, n, 3 * C)) * 0.3
+    scale = D ** -0.5
+
+    def loss(x):
+        return jnp.sum(jnp.sin(
+            fa.flash_attention_qkv(x, num_heads=H, scale=scale)))
+
+    with pltpu.force_tpu_interpret_mode():
+        assert fa._packed_train_ok(n, C, D, 0)
+        monkeypatch.setenv("SIMPLE_TAD_ATTN_BWD_BQ", "64")   # 2 kv steps
+        out_new, res = fa._flash_core_packed_qkv_fwd(qkv, H, scale, 0)
+        assert len(res) == 3              # packed residuals (qkv, out, lse)
+        g_new = jax.grad(loss)(qkv)
+        monkeypatch.setenv("SIMPLE_TAD_ATTN_TRAIN_PACKED", "0")
+        out_old, res_old = fa._flash_core_packed_qkv_fwd(qkv, H, scale, 0)
+        assert len(res_old) == 6          # BH-layout residuals
+        g_old = jax.grad(loss)(qkv)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_old),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_dispatcher_qkv_fallback_matches_module_math():
     """dot_product_attention_qkv off-TPU slices and dispatches; equal to
     the naive reference on the same packed array."""
@@ -481,3 +512,37 @@ def test_pad_rows_qk_decoupled():
     assert _pad_rows_qk(1568, 768, 64, 0) == (1568, 1568)
     assert _pad_rows_qk(785, 384, 64, 0) == (792, 792)
     assert _pad_rows_qk(136, 128, 64, 0) == (136, 136)
+
+
+def test_i8_storage_kernel_close_to_fp():
+    """int8-STORAGE kernel (int8 in, bf16 compute, q8io): quantize + kernel
+    tracks full-precision attention within PTQ noise, both output modes."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_qkv_i8d
+    rng = np.random.default_rng(2)
+    B, N, H, D = 2, 200, 2, 64     # N needs row padding (tests n_pad path)
+    C = H * D
+    qkv = rng.normal(0.0, 1.0, (B, N, 3 * C)).astype(np.float32)
+    scale = D ** -0.5
+    amax = np.abs(qkv.reshape(B, N, 3, H, D)).max(axis=(0, 1, 4))
+    inv = np.repeat((127.0 / amax).reshape(-1), D)
+    qkv_i8 = np.clip(np.round(qkv * inv), -127, 127).astype(np.int8)
+    q, k, v = (jnp.asarray(qkv[:, :, i * C:(i + 1) * C]).reshape(B, N, H, D)
+               for i in range(3))
+    want = np.asarray(_naive_attention(q, k, v, scale)).reshape(B, N, C)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention_qkv_i8d(
+            jnp.asarray(qkv_i8), jnp.asarray(amax.astype(np.float32)),
+            num_heads=H, scale=scale), np.float32)
+    err = np.abs(got - want).max()
+    assert err < 0.06 * np.abs(want).max() + 0.02, err
+
+    # int8 out epilogue: dequantized output tracks too
+    out_amax = float(np.abs(want).max())
+    with pltpu.force_tpu_interpret_mode():
+        got8 = np.asarray(flash_attention_qkv_i8d(
+            jnp.asarray(qkv_i8), jnp.asarray(amax.astype(np.float32)),
+            num_heads=H, scale=scale, out_amax=out_amax), np.int8)
+    deq = got8.astype(np.float32) * (out_amax / 127.0)
+    err8 = np.abs(deq - want).max()
+    assert err8 < 0.08 * np.abs(want).max() + 0.02, err8

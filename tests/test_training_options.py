@@ -252,7 +252,11 @@ def test_remat_policy_saves_flash_residuals(monkeypatch, capsys):
     from jax.ad_checkpoint import print_saved_residuals
     print_saved_residuals(f, params)
     text = capsys.readouterr().out
-    # the stacked (depth-major) kernel outputs: out bf16[12,24,1568,64]
-    # and lse f32[12,24,1568] appear as saved scan outputs
-    assert "bf16[12,24,1568,64]" in text, text
-    assert "f32[12,24,1568]" in text, text
+    # the stacked (depth-major) kernel outputs appear as saved scan
+    # outputs.  Packed training layout (round 4, the default): out
+    # bf16[12, 2, 1568, 768] and lse f32[12, 2, 6, 1568, 2]
+    # (B, ng, Np, heads-per-group).  SIMPLE_TAD_ATTN_TRAIN_PACKED=0
+    # reverts to the BH layout: out bf16[12,24,1568,64], lse
+    # f32[12,24,1568].
+    assert "bf16[12,2,1568,768]" in text, text
+    assert "f32[12,2,6,1568,2]" in text, text
