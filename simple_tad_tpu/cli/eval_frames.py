@@ -26,6 +26,12 @@ from simple_tad_tpu.config import FinetuneConfig
 
 def main(argv=None):
     cfg = FinetuneConfig.from_args(argv)
+    if cfg.dist_eval:
+        # must run BEFORE the first backend touch (enable_persistent_cache
+        # calls jax.default_backend()) — jax.distributed.initialize rejects
+        # an already-initialized backend
+        from simple_tad_tpu.parallel import multihost as _mh
+        _mh.initialize()
     from simple_tad_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -34,6 +40,7 @@ def main(argv=None):
     from simple_tad_tpu.data.frame_datasets import (
         FrameDataset, read_dada_clips, read_dota_clips)
     from simple_tad_tpu.eval.engine import FrameEvaluator
+    from simple_tad_tpu.parallel import multihost
     from simple_tad_tpu.utils.torch_convert import load_checkpoint_auto
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -76,11 +83,9 @@ def main(argv=None):
     # --dist_eval (reference run_frame_finetuning.py:303-314): clips
     # round-robin over the local devices; across hosts each process scores
     # its views[rank::world] slice and rank 0 merges the CSV shards.
-    from simple_tad_tpu.parallel import multihost
     devices = None
     views = None
     if cfg.dist_eval:
-        multihost.initialize()
         local = jax.local_devices()
         if len(local) > 1:
             devices = local
@@ -102,11 +107,13 @@ def main(argv=None):
         res.rows.to_csv(os.path.join(cfg.output_dir,
                                      f"predictions.{rank}.csv"), index=False)
         from simple_tad_tpu.eval.metrics import binary_metrics
-        gathered = multihost.allgather_metrics({
-            "probs": _softmax_risk(res.rows), "label":
-            res.rows["label"].to_numpy()})
-        probs = np.concatenate(list(np.atleast_2d(gathered["probs"])))
-        labels = np.concatenate(list(np.atleast_2d(gathered["label"])))
+        # ragged gather: the views[rank::world] shards need not be equal
+        # (the reference pads its all_gather the same way, utils.py:759)
+        gathered = multihost.allgather_ragged_1d({
+            "probs": _softmax_risk(res.rows),
+            "label": res.rows["label"].to_numpy()})
+        probs = np.asarray(gathered["probs"])
+        labels = np.asarray(gathered["label"])
         res.metrics = binary_metrics(probs, labels,
                                      exact=cfg.exact_metrics)
         merged = multihost.merge_csv_shards(cfg.output_dir, "predictions",

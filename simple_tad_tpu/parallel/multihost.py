@@ -75,6 +75,32 @@ def allgather_metrics(tree: Any) -> Any:
     return process_allgather(tree)
 
 
+def allgather_ragged_1d(tree: Any) -> Any:
+    """Gather per-host 1-D arrays of UNEQUAL length (the reference's
+    padded all_gather, utils.py:759-789): each leaf pads to the global
+    max length, gathers, and concatenates only the valid prefixes.
+    Single-process: returns the arrays unchanged."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental.multihost_utils import process_allgather
+
+    def leaf_len(x):
+        return np.asarray(x).shape[0]
+
+    lens = process_allgather(
+        jax.tree.map(lambda x: np.asarray(leaf_len(x), np.int32), tree))
+
+    def gather(x, ln):
+        x = np.asarray(x)
+        n_max = int(np.max(ln))
+        pad = np.zeros((n_max - x.shape[0],) + x.shape[1:], x.dtype)
+        stacked = process_allgather(np.concatenate([x, pad]))
+        return np.concatenate([stacked[r][:int(ln[r])]
+                               for r in range(stacked.shape[0])])
+
+    return jax.tree.map(gather, tree, lens)
+
+
 def merge_csv_shards(output_dir: str, basename: str, n_shards: int,
                      out_name: Optional[str] = None) -> Optional[str]:
     """Merge per-host '<basename>.<rank>.csv' shards on process 0
