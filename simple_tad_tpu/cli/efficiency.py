@@ -28,7 +28,8 @@ def benchmark_model(name: str, *, batches=(1, 8, 32), iters: int = 50,
     import simple_tad_tpu as st
 
     model = st.create_model(name, num_classes=2, all_frames=num_frames,
-                            dtype=dtype, attn_impl=attn_impl)
+                            img_size=input_size, dtype=dtype,
+                            attn_impl=attn_impl)
     params = model.init_params(jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
@@ -57,10 +58,16 @@ def benchmark_model(name: str, *, batches=(1, 8, 32), iters: int = 50,
                 fwd(params, x).block_until_ready()
             times.append((time.perf_counter() - t0) / len(chunk))
         ms = min(times) * 1000
+        # peak-HBM column (reference reports peak CUDA MB per model,
+        # test_efficiency.py:174-194); first device's peak over the run
+        from simple_tad_tpu.utils.diagnostics import device_memory_stats
+        mem = next(iter(device_memory_stats().values()), {})
         rows.append({"model": name, "batch": b,
                      "latency_ms": round(ms, 2),
                      "clips_per_sec": round(b / (ms / 1000), 1),
-                     "params_m": round(n_params / 1e6, 1)})
+                     "params_m": round(n_params / 1e6, 1),
+                     "peak_hbm_mb": round(mem.get("peak_bytes_mb", 0.0), 1)
+                     or None})
         print(json.dumps(rows[-1]))
     return rows
 

@@ -182,6 +182,17 @@ def test_train_input_probe_runs(tmp_path, monkeypatch, capsys):
     assert "input_occupancy" in rows[0]
 
 
+def test_efficiency_device_rows_have_memory_column():
+    """The device benchmark reports the reference's peak-memory column
+    (test_efficiency.py:174-194 prints peak CUDA MB per model)."""
+    from simple_tad_tpu.cli.efficiency import benchmark_model
+    rows = benchmark_model("vit_small_patch16_224", batches=(1,), iters=2,
+                           num_frames=16, input_size=32,
+                           attn_impl="naive")
+    assert rows and "peak_hbm_mb" in rows[0]
+    assert rows[0]["latency_ms"] > 0
+
+
 def test_optimizer_menu_variants():
     """Every reference --opt menu entry builds and takes a step that
     changes the params (optim_factory.py:91-175 capability parity)."""
