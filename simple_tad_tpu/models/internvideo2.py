@@ -299,11 +299,13 @@ class InternVideo2(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 tokens_input: bool = False):
+                 tokens_input: bool = False, features_only: bool = False):
         """x: (B, T, H, W, C) normalized video -> (B, num_classes).
         With tokens_input=True, x is pre-embedded (B, num_patches, D)
         (the evaluator's per-frame token precompute; cls + pos are still
-        added here)."""
+        added here).  features_only=True returns the fc_norm'd
+        clip-projector features (B, clip_embed_dim) instead of logits
+        (the distillation / linear-probe feature surface)."""
         cfg = self.cfg
         B = x.shape[0]
         nt, nh, nw = cfg.grid_size
@@ -404,6 +406,8 @@ class InternVideo2(nn.Module):
                                  name="clip_projector")(tokens)
         feats = LayerNormEps(cfg.clip_embed_dim, eps=1e-5, dtype=cfg.dtype,
                              name="fc_norm")(feats)
+        if features_only:
+            return feats
         if cfg.fc_drop_rate > 0:
             feats = nn.Dropout(cfg.fc_drop_rate)(feats,
                                                  deterministic=deterministic)
