@@ -2,10 +2,13 @@
 # InternVideo2-1B attentive probing on Kinetics-400: frozen trunk, the
 # attention-pooling clip projector opens (3 epochs, lr 1e-5).
 # Reference: other_models/InternVideo2_single_modality/scripts/finetuning/
-# attentive_probing/k400/1B_ap_k400_f16.sh (run_linear_probing.py).
+# attentive_probing/k400/1B_ap_k710_ap_k400_f16.sh (run_linear_probing.py).
+# NOTE: the reference initializes this probe from the K710
+# attentive-probed checkpoint (k710 -> k400 chain), not the raw 1B
+# pretrain — point INIT_CKPT at the K710 AP output to reproduce it.
 set -e
 K400_ROOT=${K400_ROOT:-/data/k400}
-INIT_CKPT=${INIT_CKPT:-checkpoints/1B_pt.pth}
+INIT_CKPT=${INIT_CKPT:-checkpoints/1B_ap_k710.pth}
 OUT=${OUT:-runs/iv2_1b_ap_k400}
 
 python -m simple_tad_tpu.cli.linear_probe \

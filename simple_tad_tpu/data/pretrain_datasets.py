@@ -159,14 +159,24 @@ def read_bdd_clips(data_path: str, clips_list: Optional[str] = None
     """Relative BDD100K video names under ``data_path``/videos.
 
     With ``clips_list`` (a txt of relative names, one per line) this is
-    VideoMAE_BDD100K_prepared._make_dataset_snellius (bdd100k.py:171-177);
-    without, it scans the videos tree like the split files the reference
-    feeds _make_dataset_snellius (bdd100k.py:151-161), dropping the known
-    corrupt ``ignore_videos`` entry either way (bdd100k.py:21-22,157-159).
+    VideoMAE_BDD100K_prepared._make_dataset_snellius (bdd100k.py:171-177)
+    — the list is taken VERBATIM (no ignore filter, matching the
+    reference) because a paired view_list's clip indices were computed
+    against the unfiltered list; filtering here would silently shift
+    every subsequent view onto the wrong clip (ADVICE r3).  A known-bad
+    name in the list raises instead.  Without a list, the videos tree is
+    scanned like the split files the reference feeds
+    _make_dataset_snellius (bdd100k.py:151-161), dropping the corrupt
+    ``ignore_videos`` entries (bdd100k.py:21-22,157-159).
     """
     if clips_list:
         with open(clips_list) as f:
             names = [line.rstrip() for line in f if line.strip()]
+        bad = sorted(set(names) & set(BDD_IGNORE_VIDEOS))
+        assert not bad, (
+            f"clips_list contains known-corrupt video(s) {bad}; remove "
+            "them from the list AND regenerate the paired view_list "
+            "(indices must stay aligned)")
     else:
         root = os.path.join(data_path, "videos")
         names = []
@@ -176,7 +186,7 @@ def read_bdd_clips(data_path: str, clips_list: Optional[str] = None
                 if fn.lower().endswith(BDD_VIDEO_EXT):
                     names.append(fn if rel == "." else os.path.join(rel, fn))
         names.sort()
-    names = [n for n in names if n not in BDD_IGNORE_VIDEOS]
+        names = [n for n in names if n not in BDD_IGNORE_VIDEOS]
     assert names, f"no BDD100K videos found under {data_path}"
     return names
 
@@ -370,6 +380,34 @@ class CyclicZip:
                 short_iter = self.make_short(cycle * 1000 + epoch_idx)
                 batch_short = next(short_iter)
             yield batch_long, batch_short
+
+
+class CyclicZipN:
+    """N-loader generalization of CyclicZip for the triple pretrain loop
+    (train_one_epoch_triple, engine_for_pretraining.py:310-355): the
+    FIRST iterator drives the epoch; every other iterator cycles when
+    exhausted.  (The reference plain-zips three loaders so the shortest
+    ends the epoch — and then reads batch2 twice where it means batch3, a
+    bug this rebuild does not reproduce; cycling matches the double
+    loop's CyclicDataLoader semantics instead.)"""
+
+    def __init__(self, make_driver, *make_others):
+        self.make_driver = make_driver
+        self.make_others = make_others
+
+    def epoch(self, epoch_idx: int):
+        iters = [m(epoch_idx) for m in self.make_others]
+        cycles = [epoch_idx] * len(iters)
+        for batch_drv in self.make_driver(epoch_idx):
+            out = [batch_drv]
+            for i, m in enumerate(self.make_others):
+                try:
+                    out.append(next(iters[i]))
+                except StopIteration:
+                    cycles[i] += 1
+                    iters[i] = m(cycles[i] * 1000 + epoch_idx)
+                    out.append(next(iters[i]))
+            yield tuple(out)
 
 
 def read_kinetics_clips(root: str, setting: str = "annotations/train.csv",

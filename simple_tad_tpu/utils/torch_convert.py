@@ -131,11 +131,24 @@ def _remap_710_head(head_w: np.ndarray, head_b: np.ndarray,
         return head_w, head_b
     if num_classes == 400:
         return head_w[:400], head_b[:400]
-    if num_classes in (600, 700) and head_label_map is not None:
-        idx = np.asarray(head_label_map, np.int64)
-        assert idx.shape == (num_classes,), (
-            f"label map has {idx.shape[0]} entries, expected {num_classes}")
-        return head_w[idx], head_b[idx]
+    if num_classes in (600, 700):
+        if head_label_map is not None:
+            idx = np.asarray(head_label_map, np.int64)
+            assert idx.shape == (num_classes,), (
+                f"label map has {idx.shape[0]} entries, expected "
+                f"{num_classes}")
+            return head_w[idx], head_b[idx]
+        # the IV2 reference ALWAYS remaps 710->600/700 via
+        # k710/label_mixto{N}.json; without a map the caller would
+        # silently drop the head (fresh random init) — make that visible
+        # (ADVICE r3)
+        import warnings
+        warnings.warn(
+            f"710-row pretrained head with nb_classes={num_classes} and no "
+            "--head_label_map: the head will be dropped and freshly "
+            "initialized. The reference remaps it via "
+            "k710/label_mixto{N}.json — pass that list as head_label_map "
+            "to reproduce its runs.", stacklevel=3)
     return head_w, head_b
 
 
