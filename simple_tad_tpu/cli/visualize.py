@@ -10,6 +10,10 @@ Usage:
       --clip <clip_name> --out vis/
   python -m simple_tad_tpu.cli.visualize zip2gif \
       --zip frames/<clip>/images.zip --out clip.gif [--fps 10]
+  python -m simple_tad_tpu.cli.visualize paper-figure \
+      --data_path <dota_root> --clip <clip_name> --out fig.png \
+      --preds a/predictions.csv --name "w/o DAPT" \
+      --preds b/predictions.csv --name "w/ DAPT"
 """
 
 from __future__ import annotations
@@ -116,6 +120,116 @@ def zip2gif(zip_path: str, out: str, fps: int = 10, scale: float = 0.5,
     if frames:
         _write_gif(frames, out, fps)
     return len(frames)
+
+
+def _glue_with_margin(imgs: List[np.ndarray], timestamps: List[float],
+                      margin: int = 3) -> np.ndarray:
+    """Horizontally glue BGR frames with white gaps, stamping each with its
+    timestamp (orange text over a black outline, bottom-right) — the
+    reference's glue_with_margin (anaysis/vis_video_paper.py:60-101)."""
+    annotated = []
+    for img, ts in zip(imgs, timestamps):
+        img = img.copy()
+        h, w = img.shape[:2]
+        text = f"{ts:.1f} s"
+        scale = max(w / 400.0, 0.5)
+        thick = max(int(round(scale * 1.5)), 1)
+        (tw, th), _ = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                      scale, thick)
+        x, y = w - tw - max(w // 20, 6), h - max(h // 20, 6)
+        cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale,
+                    (0, 0, 0), thick + 2, cv2.LINE_AA)
+        cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale,
+                    (0, 165, 255), thick, cv2.LINE_AA)
+        annotated.append(img)
+    gap = np.full((annotated[0].shape[0], margin, 3), 255,
+                  annotated[0].dtype)
+    rows: List[np.ndarray] = []
+    for im in annotated:
+        rows.extend([im, gap])
+    return np.hstack(rows[:-1])
+
+
+def paper_figure(preds_csvs: List[str], names: List[str], clip: str,
+                 data_path: str, out: str, *, frame_times: Optional[
+                     List[float]] = None, n_frames: int = 4,
+                 fps: float = 10.0) -> str:
+    """Multi-model qualitative comparison figure
+    (anaysis/vis_video_paper.py:40-253): a strip of timestamped frames from
+    the clip on top, every model's softmax risk curve below with the
+    ground-truth anomaly window shaded and the 0.5 threshold dashed.
+
+    ``preds_csvs``/``names``: one predictions.csv + legend label per model
+    (all scored on the same clip — labels must agree).  ``frame_times``:
+    seconds into the clip for the strip frames (default: evenly spaced).
+    Output format follows the ``out`` extension (png/pdf).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.gridspec as gridspec
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    assert len(preds_csvs) == len(names) and preds_csvs, \
+        "one --name per --preds"
+    curves, labels_ref = [], None
+    for path in preds_csvs:
+        df = pd.read_csv(path)
+        df = df[df["clip"] == clip].sort_values("filename")
+        if not len(df):
+            raise ValueError(f"no predictions for clip {clip!r} in {path}")
+        logits = df[["logits_safe", "logits_risk"]].to_numpy()
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        curves.append((e / e.sum(axis=1, keepdims=True))[:, 1])
+        labels = df["label"].to_numpy().astype(bool)
+        if labels_ref is None:
+            labels_ref, frame_names = labels, list(df["filename"])
+        else:
+            assert len(labels) == len(labels_ref) and (
+                labels == labels_ref).all(), \
+                f"labels mismatch between {preds_csvs[0]} and {path}"
+    T = len(labels_ref)
+    time = np.arange(T) / fps
+
+    if frame_times is None:
+        frame_times = list(np.linspace(time[0], time[-1],
+                                       min(n_frames, T)))
+    zpath = os.path.join(data_path, "frames", clip, "images.zip")
+    imgs = []
+    with zipfile.ZipFile(zpath) as zf:
+        for ts in frame_times:
+            name = frame_names[min(int(round(ts * fps)), T - 1)]
+            imgs.append(cv2.imdecode(np.frombuffer(zf.read(name), np.uint8),
+                                     cv2.IMREAD_COLOR))
+    glued = _glue_with_margin(imgs, frame_times)
+
+    fig = plt.figure(figsize=(15, 3.7))
+    gs = gridspec.GridSpec(2, 1, height_ratios=[3, 2], hspace=0.05)
+    ax_img = fig.add_subplot(gs[0, 0])
+    ax_img.imshow(cv2.cvtColor(glued, cv2.COLOR_BGR2RGB))
+    ax_img.axis("off")
+
+    ax = fig.add_subplot(gs[1, 0])
+    palette = ["#8F1A55", "#1A788F", "#1A8F3C", "#8F6B1A", "#4B1A8F"]
+    for i, (curve, name) in enumerate(zip(curves, names)):
+        ax.plot(time, curve, label=name,
+                color=palette[i % len(palette)], lw=2)
+    ax.fill_between(time, 0.0, 1.0, where=labels_ref, color="#9B398A",
+                    alpha=0.3, transform=ax.get_xaxis_transform())
+    ax.axhline(0.5, color="gray", linestyle="--", linewidth=1.5, zorder=1)
+    anom = time[labels_ref]
+    if anom.size:
+        ax.text((anom.min() + anom.max()) / 2, 0.52,
+                "ground truth\nanomaly window", ha="center", va="bottom",
+                fontsize=10, color="#353535")
+    ax.set_xlim(time[0], time[-1])
+    ax.set_ylim(-0.015, 1.02)
+    ax.set_xlabel("Time (s)", fontsize=12)
+    ax.set_ylabel("Risk score", fontsize=14)
+    ax.legend(loc="upper left", frameon=False, fontsize=12)
+    fig.savefig(out, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out
 
 
 def _read_clip_frames(path: str, n: int, stride: int) -> List[np.ndarray]:
@@ -250,6 +364,21 @@ def main(argv=None):
     g.add_argument("--out", required=True)
     g.add_argument("--fps", type=int, default=10)
     g.add_argument("--scale", type=float, default=0.5)
+    pf = sub.add_parser("paper-figure",
+                        help="multi-model comparison figure "
+                             "(anaysis/vis_video_paper.py)")
+    pf.add_argument("--data_path", required=True)
+    pf.add_argument("--preds", action="append", required=True,
+                    help="predictions.csv (repeat per model)")
+    pf.add_argument("--name", action="append", required=True,
+                    help="legend label (repeat per model, paired with "
+                         "--preds)")
+    pf.add_argument("--clip", required=True)
+    pf.add_argument("--out", required=True, help="output .png / .pdf")
+    pf.add_argument("--frame_times", type=float, nargs="*", default=None,
+                    help="seconds into the clip for the strip frames")
+    pf.add_argument("--n_frames", type=int, default=4)
+    pf.add_argument("--fps", type=float, default=10.0)
     m = sub.add_parser("mae-recon",
                        help="MAE reconstruction strips (reference vis.sh)")
     m.add_argument("--model", default="pretrain_videomae_base_patch16_224")
@@ -270,6 +399,11 @@ def main(argv=None):
     elif args.cmd == "zip2gif":
         n = zip2gif(args.zip, args.out, args.fps, args.scale)
         print(f"wrote {n} frames -> {args.out}")
+    elif args.cmd == "paper-figure":
+        out = paper_figure(args.preds, args.name, args.clip, args.data_path,
+                           args.out, frame_times=args.frame_times,
+                           n_frames=args.n_frames, fps=args.fps)
+        print(f"wrote figure -> {out}")
     elif args.cmd == "mae-recon":
         out = mae_reconstruction(
             args.model, args.ckpt, args.video, args.output_dir,

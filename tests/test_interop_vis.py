@@ -117,3 +117,42 @@ def test_mae_recon_cli(tmp_path):
     assert sum(n.startswith("orig") for n in names) == 4
     assert sum(n.startswith("masked") for n in names) == 4
     assert sum(n.startswith("recon") for n in names) == 4
+
+
+def test_paper_figure(tmp_path):
+    """paper-figure compositor (anaysis/vis_video_paper.py:40-253): glued
+    timestamped strip + N risk curves + anomaly shading, one output file."""
+    import pandas as pd
+    from tests.fixtures import make_synthetic_dota
+    from simple_tad_tpu.cli.visualize import main as vis_main
+
+    root = str(tmp_path / "d")
+    make_synthetic_dota(root, n_clips=2, frames_per_clip=24, h=48, w=64)
+    rng = np.random.default_rng(1)
+    names = [f"{t:06d}.jpg" for t in range(24)]
+    csvs = []
+    for i in range(2):
+        preds = pd.DataFrame({
+            "clip": ["clip_001"] * len(names), "filename": names,
+            "logits_safe": rng.normal(size=len(names)),
+            "logits_risk": rng.normal(size=len(names)) + i,
+            "label": [int(12 <= t <= 20) for t in range(24)], "ttc": 0.0})
+        csv = str(tmp_path / f"p{i}.csv")
+        preds.to_csv(csv, index=False)
+        csvs.append(csv)
+
+    out = str(tmp_path / "fig.png")
+    vis_main(["paper-figure", "--data_path", root, "--clip", "clip_001",
+              "--out", out, "--preds", csvs[0], "--name", "w/o DAPT",
+              "--preds", csvs[1], "--name", "w/ DAPT",
+              "--frame_times", "0.3", "1.0", "1.6", "2.2"])
+    assert os.path.getsize(out) > 10_000
+
+    # mismatched labels across models must be rejected
+    bad = pd.read_csv(csvs[1])
+    bad["label"] = 0
+    bad.to_csv(csvs[1], index=False)
+    with pytest.raises(AssertionError, match="labels mismatch"):
+        vis_main(["paper-figure", "--data_path", root, "--clip", "clip_001",
+                  "--out", out, "--preds", csvs[0], "--name", "a",
+                  "--preds", csvs[1], "--name", "b"])
