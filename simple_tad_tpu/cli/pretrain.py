@@ -4,7 +4,8 @@ Equivalent of /root/reference/run_mae_pretraining.py (single dataset) and
 run_mae_double_pretraining.py (dual-dataset DAPT: e.g. BDD100K + CAP-DATA,
 batches concatenated per step, hard stop at --stop_at_epoch).  Supports
 warm start from a VideoMAE .pth (from_ckpt, run_mae_double_pretraining.py:
-289-354).
+289-354) and the triple loop (--data_set3; train_one_epoch_triple,
+engine_for_pretraining.py:310-355 — unused by any reference job).
 
 Usage (single):
   python -m simple_tad_tpu.cli.pretrain --data_set DoTA \
@@ -113,7 +114,7 @@ def main(argv=None):
                              mask_ratio=cfg.mask_ratio, seed=cfg.seed,
                              nb_samples_per_epoch=cfg.nb_samples_per_epoch,
                              num_threads=cfg.num_workers)
-    loader2 = None
+    loader2 = loader3 = None
     if cfg.data_set2:
         ds2 = _build_source(cfg.data_set2, cfg.data_path2, cfg,
                             cfg.view_list2, cfg.clips_list2)
@@ -121,6 +122,17 @@ def main(argv=None):
             ds2, (cfg.batch_size2 or cfg.batch_size) * n_dev,
             window_size=window_size, mask_ratio=cfg.mask_ratio,
             seed=cfg.seed + 1,
+            nb_samples_per_epoch=cfg.nb_samples_per_epoch,
+            num_threads=cfg.num_workers)
+    if cfg.data_set3:
+        # triple loop (train_one_epoch_triple): third concurrent source
+        assert cfg.data_set2, "--data_set3 requires --data_set2"
+        ds3 = _build_source(cfg.data_set3, cfg.data_path3, cfg,
+                            cfg.view_list3, cfg.clips_list3)
+        loader3 = PretrainLoader(
+            ds3, (cfg.batch_size3 or cfg.batch_size) * n_dev,
+            window_size=window_size, mask_ratio=cfg.mask_ratio,
+            seed=cfg.seed + 7,
             nb_samples_per_epoch=cfg.nb_samples_per_epoch,
             num_threads=cfg.num_workers)
     num_masked = loader1.num_masked
@@ -150,8 +162,8 @@ def main(argv=None):
         print(f"warm-started from {cfg.from_ckpt}")
 
     steps_per_epoch = loader1.steps_per_epoch()
-    total_batch = ((cfg.batch_size + (cfg.batch_size2 or 0))
-                   * cfg.update_freq * n_dev)
+    total_batch = ((cfg.batch_size + (cfg.batch_size2 or 0)
+                    + (cfg.batch_size3 or 0)) * cfg.update_freq * n_dev)
     lr = cfg.lr * total_batch / 256.0
     # schedules are indexed per OPTIMIZER update (see finetune.py): under
     # MultiSteps the inner chain only advances every update_freq batches
@@ -201,6 +213,11 @@ def main(argv=None):
             if loader2 is None:
                 for b in loader1.epoch(epoch):
                     yield (b,)
+            elif loader3 is not None:
+                # triple loop: loader1 drives, the others cycle
+                from simple_tad_tpu.data.pretrain_datasets import CyclicZipN
+                czn = CyclicZipN(loader1.epoch, loader2.epoch, loader3.epoch)
+                yield from czn.epoch(epoch)
             else:
                 from simple_tad_tpu.data.pretrain_datasets import CyclicZip
                 cz = CyclicZip(loader1.epoch if len(loader1.dataset)

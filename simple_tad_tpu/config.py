@@ -147,22 +147,27 @@ class PretrainConfig:
     model: str = "pretrain_videomae_base_patch16_224"
     batch_size: int = 64
     batch_size2: int = 0                   # second dataset (double DAPT)
+    batch_size3: int = 0                   # third dataset (triple loop)
     epochs: int = 800
     stop_at_epoch: int = -1                # hard stop (double DAPT uses 12)
     update_freq: int = 1
     # data
     data_set: str = "DoTA"
     data_set2: str = ""
+    data_set3: str = ""                    # train_one_epoch_triple
     data_path: str = ""
     data_path2: str = ""
+    data_path3: str = ""
     # precomputed view lists (the *_prepared datasets: skip the per-clip
     # duration scan at startup; see data.pretrain_datasets.load_view_list)
     view_list: str = ""
     view_list2: str = ""
+    view_list3: str = ""
     # BDD100K: txt of relative video names fixing clip-id order (the
     # prepared clips_txt, bdd100k.py:164-177); pairs with view_list
     clips_list: str = ""
     clips_list2: str = ""
+    clips_list3: str = ""
     mask_type: str = "tube"
     mask_ratio: float = 0.9
     num_frames: int = 16

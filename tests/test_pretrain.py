@@ -232,3 +232,45 @@ def test_pretrain_cli_k700_one_epoch(tmp_path_factory, tmp_path):
     ])
     assert int(np.asarray(state.step)) == 1
     assert os.path.exists(os.path.join(out, "checkpoint-last"))
+
+
+def test_cyclic_zip_n():
+    from simple_tad_tpu.data.pretrain_datasets import CyclicZipN
+
+    def driver(_e):
+        return iter(range(5))
+
+    def mid(e):
+        return iter([f"m{e}_{i}" for i in range(3)])
+
+    def short(e):
+        return iter([f"s{e}_{i}" for i in range(2)])
+
+    trips = list(CyclicZipN(driver, mid, short).epoch(0))
+    assert len(trips) == 5                     # driver ends the epoch
+    assert [t[0] for t in trips] == [0, 1, 2, 3, 4]
+    assert all(len(t) == 3 for t in trips)
+    assert len(set(t[1] for t in trips)) == 5  # both others cycle with
+    assert len(set(t[2] for t in trips)) == 5  # reshuffled epoch seeds
+
+
+def test_pretrain_cli_triple_dataset(dota_root, tmp_path):
+    """Triple-loop equivalent of train_one_epoch_triple
+    (engine_for_pretraining.py:310): three concurrent sources concatenated
+    into each step's batch."""
+    from simple_tad_tpu.cli.pretrain import main
+    out = str(tmp_path / "pre_run3")
+    state = main([
+        "--data_set", "DoTA", "--data_path", dota_root,
+        "--data_set2", "DoTA", "--data_path2", dota_root,
+        "--data_set3", "DoTA", "--data_path3", dota_root,
+        "--model", "pretrain_videomae_small_patch16_224",
+        "--input_size", "32", "--num_frames", "16", "--batch_size", "1",
+        "--batch_size2", "1", "--batch_size3", "1",
+        "--epochs", "1", "--warmup_epochs", "0", "--mask_ratio", "0.75",
+        "--sampling_rate", "4", "--decoder_depth", "2",
+        "--output_dir", out, "--dtype", "float32", "--attn_impl", "naive",
+        "--num_workers", "2",
+    ])
+    assert int(state.step) == 1
+    assert os.path.exists(os.path.join(out, "checkpoint-last"))
