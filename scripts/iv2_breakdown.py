@@ -37,13 +37,13 @@ KNOBS = ("SIMPLE_TAD_ABLATE_ATTN", "SIMPLE_TAD_ABLATE_QKNORM",
          "SIMPLE_TAD_ABLATE_PV")
 
 
-def build(quant, batch, rng):
+def build(quant, batch, rng, model_name="internvideo2_base_patch14_224"):
     import simple_tad_tpu as st
     from simple_tad_tpu.eval.engine import half_kernel_tokens
     from simple_tad_tpu.ops.quant import quantize_and_calibrate
     from simple_tad_tpu.utils.fold_norm import fold_normalization
 
-    model = st.create_model("internvideo2_base_patch14_224", num_classes=2,
+    model = st.create_model(model_name, num_classes=2,
                             all_frames=8, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
     params = fold_normalization(params)
@@ -96,6 +96,9 @@ def timeit(score, params, idx, rng, shape=(128, 224, 224, 3),
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--model",
+                    default="internvideo2_base_patch14_224",
+                    help="IV2 trunk (base / 1B — VERDICT r3 weak #3)")
     ap.add_argument("--variants", nargs="+",
                     default=["full", "no_attn", "no_qknorm", "no_mlp",
                              "no_ln"])
@@ -113,7 +116,8 @@ def main():
         # build (init + calibrate) with knobs CLEAR so the param tree is
         # complete; the jit traces at first call inside timeit, which is
         # when the ablation knob must be set
-        score, score_tokens, params, idx = build(quant, args.batch, rng)
+        score, score_tokens, params, idx = build(quant, args.batch, rng,
+                                                 args.model)
         if variant == "no_attn":
             os.environ["SIMPLE_TAD_ABLATE_ATTN"] = "1"
         elif variant == "no_qknorm":
@@ -132,8 +136,9 @@ def main():
             # pre-gathered token batches (B, 2048, 768) replace the
             # frame buffers; distinct per call, same relay rules
             tok_rng = np.random.default_rng(7)
+            ed = params["patch_kernel"].shape[-1]   # 768 base / 1408 1B
             dt = timeit(score_tokens, params, idx, tok_rng,
-                        shape=(args.batch, 2048, 768), dtype=jnp.bfloat16)
+                        shape=(args.batch, 2048, ed), dtype=jnp.bfloat16)
         else:
             dt = timeit(score, params, idx, rng)
         results[variant] = dt
