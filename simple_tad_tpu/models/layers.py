@@ -392,9 +392,36 @@ class Attention(nn.Module):
         out_amax = None
         if self.attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
-        from simple_tad_tpu.ops.attention import (dot_product_attention_qkv,
-                                                  int8_attn_supported)
+        from simple_tad_tpu.ops.attention import (
+            dot_product_attention_qkv, i8_storage_attn_supported,
+            int8_attn_supported)
         if (self.quant and self.quant_mode == "static"
+                and dropout_rng is None and self.attn_impl == "auto"
+                and not os.environ.get("SIMPLE_TAD_INT8_ATTN")
+                and i8_storage_attn_supported(N, all_head_dim,
+                                              self.num_heads)):
+            # int8 STORAGE attention (round 4): quantize qkv against the
+            # per-layer per-head calibrated scales — XLA fuses this into
+            # the qkv GEMM's epilogue so the bf16 qkv never touches HBM —
+            # and the kernel computes in bf16 on exact s8xs8 scores with v
+            # dequantized in VMEM (ops/flash_attention.py q8io kernel).
+            from simple_tad_tpu.ops.flash_attention import (
+                flash_attention_qkv_i8d)
+            amax3h = self.param("qkv_amax", nn.initializers.ones,
+                                (3, self.num_heads))
+            inv = 127.0 / jnp.maximum(amax3h, 1e-12)
+            inv_vec = jnp.repeat(inv.reshape(-1), head_dim,
+                                 total_repeat_length=3 * all_head_dim)
+            qkv_i8 = jnp.clip(jnp.round(qkv.astype(jnp.float32) * inv_vec),
+                              -127, 127).astype(jnp.int8)
+            if not os.environ.get("SIMPLE_TAD_NO_ATTN_OUT_Q8"):
+                out_amax = self.param("out_amax", nn.initializers.ones, ())
+            out = flash_attention_qkv_i8d(
+                qkv_i8, amax3h, num_heads=self.num_heads, scale=scale,
+                out_amax=out_amax)
+            if out_amax is None:
+                out = out.astype(self.dtype)
+        elif (self.quant and self.quant_mode == "static"
                 and dropout_rng is None and self.attn_impl == "auto"
                 and int8_attn_supported(N, all_head_dim, self.num_heads)):
             # int8 static attention (VERDICT r2 #1a): per-layer per-head

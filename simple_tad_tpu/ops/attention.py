@@ -51,6 +51,34 @@ def _xla_attention(q, k, v, scale):
                                         implementation="xla")
 
 
+def i8_storage_attn_supported(N: int, C: int, num_heads: int) -> bool:
+    """Can the int8-STORAGE attention kernel serve this geometry?
+
+    Unlike the retired int8-COMPUTE path (int8_attn_supported below),
+    this only quantizes what crosses HBM: the qkv GEMM's quantize
+    epilogue fuses on the XLA side (bf16 qkv never materializes), the
+    kernel contracts QK as exact s8xs8->s32 with the scales folded into
+    the logit scale, dequantizes v once in VMEM, and keeps the bf16
+    path's max-free softmax + transposed PV.  Opt-out via
+    SIMPLE_TAD_QKV_I8=0; SIMPLE_TAD_FORCE_QKV_I8=1 enables off-TPU for
+    interpret-mode tests.
+
+    Geometry: head_dim divides 128 (not a multiple), channel axis
+    128-aligned, N within the single-pass cap.
+    """
+    from simple_tad_tpu.ops.flash_attention import (MAX_SINGLE_PASS_N,
+                                                    _packed_block_q,
+                                                    _pad_rows)
+    if os.environ.get("SIMPLE_TAD_QKV_I8", "1") == "0":
+        return False
+    if not (jax.default_backend() == "tpu"
+            or os.environ.get("SIMPLE_TAD_FORCE_QKV_I8")):
+        return False
+    D = C // num_heads
+    return (N <= MAX_SINGLE_PASS_N and D % 128 != 0
+            and _packed_block_q(_pad_rows(N), C, D, 0) > 0)
+
+
 def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
     """Can the static-calibrated int8 attention kernel serve this geometry?
 

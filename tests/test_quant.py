@@ -308,3 +308,33 @@ def test_static_quant_int8_attn_out_epilogue(monkeypatch):
     assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
         (np.abs(got - want).max(), scale)
     assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
+
+
+def test_static_quant_i8_storage_attention_drift(monkeypatch):
+    """The full int8 serving program with int8-STORAGE attention (forced on
+    via env; CPU runs the kernel in interpret mode) tracks bf16 logits —
+    the round-4 default serving path on supported geometries."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    cfg = ViTConfig(img_size=32, all_frames=4, embed_dim=128, depth=2,
+                    num_heads=2, num_classes=2, quant=False)
+    fp = VisionTransformer(cfg)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    head = dict(params["head"])
+    head["kernel"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), np.shape(head["kernel"]))
+    params = {**params, "head": head}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 32, 32, 3))
+    want = np.asarray(fp.apply({"params": params}, x))
+
+    monkeypatch.setenv("SIMPLE_TAD_FORCE_QKV_I8", "1")
+    qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+    assert "qkv_amax" in qparams["blocks"]["attn"]
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(qmodel.apply({"params": qparams}, x))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
+        (np.abs(got - want).max(), scale)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
