@@ -44,18 +44,29 @@ def benchmark_model(name: str, *, batches=(1, 8, 32), iters: int = 50,
         buf_bytes = (b * num_frames * input_size * input_size * 3
                      * jnp.dtype(dtype).itemsize)
         nbuf = int(max(6, min(3 * iters, 4e9 // max(buf_bytes, 1))))
-        keys = jax.random.split(jax.random.PRNGKey(1), nbuf + 1)
-        bufs = [jax.random.normal(
-            k, (b, num_frames, input_size, input_size, 3), dtype)
-            for k in keys]
-        fwd(params, bufs[-1]).block_until_ready()
+        # HOST-generated uploads (bench.py protocol): device-side
+        # jax.random buffers measured as memoized through the relay even
+        # with distinct keys (0.04 ms ViT-B b32 "latencies")
+        rng = np.random.default_rng(1)
+        bufs = [jnp.asarray(rng.normal(size=(
+            b, num_frames, input_size, input_size, 3)).astype(np.float32)
+            * 0.5, dtype) for _ in range(nbuf + 1)]
+        # warmup must FETCH, not block: through the serving relay,
+        # block_until_ready() returns early while the compile is still in
+        # flight, and every subsequent "timed" call returns instantly
+        # (0.04 ms ViT-B b32 fantasy latencies; CLAUDE.md trap #8).
+        np.asarray(fwd(params, bufs[-1]))
         per_rep = max(nbuf // 3, 1)
         times = []
         for rep in range(3):
             chunk = bufs[rep * per_rep:(rep + 1) * per_rep] or bufs[:1]
             t0 = time.perf_counter()
-            for x in chunk:
-                fwd(params, x).block_until_ready()
+            outs = [fwd(params, x) for x in chunk]
+            jax.block_until_ready(outs)
+            # fetch-sync the pipelined chunk (tiny (b,2) logits): TPU
+            # executes in order, so fetching the last output proves the
+            # whole chunk ran (trap #8); cost amortizes over per_rep
+            np.asarray(outs[-1])
             times.append((time.perf_counter() - t0) / len(chunk))
         ms = min(times) * 1000
         # peak-HBM column (reference reports peak CUDA MB per model,

@@ -111,10 +111,15 @@ def device_memory_stats() -> Dict[str, float]:
     for d in jax.local_devices():
         try:
             m = d.memory_stats()
+        except Exception:
+            m = None
+        if m is None:
+            # the axon serving relay returns None (no allocator stats
+            # surface); callers report the column as unavailable
+            stats[str(d)] = {}
+        else:
             stats[str(d)] = {
                 "bytes_in_use_mb": m.get("bytes_in_use", 0) / 2**20,
                 "peak_bytes_mb": m.get("peak_bytes_in_use", 0) / 2**20,
             }
-        except Exception:
-            stats[str(d)] = {}
     return stats
