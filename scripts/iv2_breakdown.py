@@ -34,7 +34,7 @@ import jax.numpy as jnp
 KNOBS = ("SIMPLE_TAD_ABLATE_ATTN", "SIMPLE_TAD_ABLATE_QKNORM",
          "SIMPLE_TAD_ABLATE_MLP", "SIMPLE_TAD_ABLATE_LN",
          "SIMPLE_TAD_ABLATE_EXP", "SIMPLE_TAD_ABLATE_QK",
-         "SIMPLE_TAD_ABLATE_PV")
+         "SIMPLE_TAD_ABLATE_PV", "SIMPLE_TAD_QKV_I8")
 
 
 def build(quant, batch, rng, model_name="internvideo2_base_patch14_224"):
@@ -82,7 +82,10 @@ def timeit(score, params, idx, rng, shape=(128, 224, 224, 3),
     else:
         bufs = [jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.1,
                             dtype=dtype) for _ in range(25)]
-    score(params, bufs[-1], idx).block_until_ready()
+    # warm with a FETCH: block_until_ready returns early while a compile
+    # is in flight through the relay (CLAUDE.md trap #8) — without this,
+    # a fresh-variant run reports fantasy numbers
+    np.asarray(score(params, bufs[-1], idx))
     best = 1e9
     for rep in range(3):
         chunk = bufs[rep * 8:(rep + 1) * 8]
@@ -132,6 +135,10 @@ def main():
             os.environ["SIMPLE_TAD_ABLATE_QK"] = "1"
         elif variant == "no_pv":
             os.environ["SIMPLE_TAD_ABLATE_PV"] = "1"
+        elif variant == "bf16_qkv":
+            # disable int8-STORAGE attention (round 4): A/B of the
+            # separate-operand i8d path vs bf16 q/k/v through HBM
+            os.environ["SIMPLE_TAD_QKV_I8"] = "0"
         if variant == "model_only":
             # pre-gathered token batches (B, 2048, 768) replace the
             # frame buffers; distinct per call, same relay rules

@@ -108,6 +108,17 @@ class IV2Attention(nn.Module):
         q = q.reshape(B, N, self.num_heads, head_dim)
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
+        if self.quant and self.quant_mode == "calib":
+            # per-head POST-NORM q/k (+ raw v) absmax for the int8-storage
+            # separate-operand kernels (ops/flash_attention.py
+            # flash_attention_i8d) — the ViT trunk calibrates these in the
+            # qkv GEMM's output, but here qk_normalization re-normalizes
+            # q and k between the GEMM and the kernel.
+            qkv_abs = jnp.stack([
+                jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(0, 1, 3))
+                for t in (q, k, v)])
+            self.sow("calib", "qkv_amax", qkv_abs, reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((3, self.num_heads)))
         out_amax = None
         if self.quant and self.quant_mode == "static" \
                 and self.attn_impl == "auto" \
@@ -118,10 +129,37 @@ class IV2Attention(nn.Module):
             # fuse across the Pallas boundary disappears and the
             # attention output's HBM traffic halves.
             out_amax = self.param("out_amax", nn.initializers.ones, ())
-        out = dot_product_attention(q, k, v, scale=head_dim ** -0.5,
-                                    impl=self.attn_impl,
-                                    deterministic=deterministic,
-                                    out_quant_amax=out_amax)
+        from simple_tad_tpu.ops.attention import i8_storage_attn_sep_supported
+        if (self.quant and self.quant_mode == "static"
+                and self.attn_impl == "auto" and deterministic
+                and i8_storage_attn_sep_supported(N, self.num_heads,
+                                                  head_dim)):
+            # int8 STORAGE attention (round 4): q/k quantize against the
+            # calibrated per-head scales in the RMSNorm fusion's epilogue
+            # (v in the GEMM's), the kernel contracts QK as exact
+            # s8xs8->s32 with the scales folded into the logit scale and
+            # dequantizes v once in VMEM — bf16 q/k/v never cross HBM.
+            from simple_tad_tpu.ops.flash_attention import flash_attention_i8d
+            amax3h = self.param("qkv_amax", nn.initializers.ones,
+                                (3, self.num_heads))
+            inv3h = 127.0 / jnp.maximum(amax3h, 1e-12)
+
+            def q8(t, row):
+                invs = inv3h[row].reshape(1, 1, self.num_heads, 1)
+                return jnp.clip(jnp.round(t.astype(jnp.float32) * invs),
+                                -127, 127).astype(jnp.int8)
+
+            out = flash_attention_i8d(
+                q8(q, 0), q8(k, 1), q8(v, 2), amax3h,
+                num_heads=self.num_heads, scale=head_dim ** -0.5,
+                out_amax=out_amax)
+            if out_amax is None:
+                out = out.astype(self.dtype)
+        else:
+            out = dot_product_attention(q, k, v, scale=head_dim ** -0.5,
+                                        impl=self.attn_impl,
+                                        deterministic=deterministic,
+                                        out_quant_amax=out_amax)
         out = out.reshape(B, N, C)
         if self.quant:
             if self.quant_mode == "calib":

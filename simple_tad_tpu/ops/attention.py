@@ -79,6 +79,36 @@ def i8_storage_attn_supported(N: int, C: int, num_heads: int) -> bool:
             and _packed_block_q(_pad_rows(N), C, D, 0) > 0)
 
 
+def i8_storage_attn_sep_supported(N: int, num_heads: int,
+                                  head_dim: int) -> bool:
+    """Can the int8-STORAGE kernels serve SEPARATE q/k/v at this geometry?
+
+    The IV2 analogue of i8_storage_attn_supported: qk_normalization sits
+    between the qkv GEMM and the kernel, so q/k quantize in the RMSNorm
+    fusion's epilogue (not the GEMM's) and arrive as separate operands.
+    Covers both the single-pass packed kernel and the key-grid kernel
+    (N > single-pass cap — IV2's 2049-token sliding windows), with head
+    dims that only need 8-alignment (IV2-1B's 88 zero-pads to 128
+    exactly).  Same opt-outs as the packed variant.
+    """
+    from simple_tad_tpu.ops.flash_attention import (_i8_head_pad,
+                                                    _kv_grid_plan,
+                                                    _packed_block_q,
+                                                    _pad_rows)
+    if os.environ.get("SIMPLE_TAD_QKV_I8", "1") == "0":
+        return False
+    if not (jax.default_backend() == "tpu"
+            or os.environ.get("SIMPLE_TAD_FORCE_QKV_I8")):
+        return False
+    dp = _i8_head_pad(head_dim)
+    if not dp or (num_heads * dp) % 128 != 0:
+        return False       # channel axis must tile into 128-lane groups
+    if not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") \
+            and _kv_grid_plan(N, 0) is not None:
+        return True
+    return _packed_block_q(_pad_rows(N), num_heads * dp, dp, 0) > 0
+
+
 def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
     """Can the static-calibrated int8 attention kernel serve this geometry?
 

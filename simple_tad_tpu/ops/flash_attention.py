@@ -451,17 +451,34 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim):
         sl = slice(h * D, (h + 1) * D)
         qt = (q[:, sl].astype(jnp.float32)
               * (scale * LOG2E)).astype(q.dtype).T              # (D, Nq)
-        s = jax.lax.dot_general(
-            k[:, sl], qt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (bk, Nq)
-        p = jnp.exp2(s)
+        if os.environ.get("SIMPLE_TAD_ABLATE_QK"):
+            # measurement knobs: same semantics as _attend_rows_t's —
+            # in-kernel component costs via whole-kernel A/B deltas
+            s = (jnp.sum(qt, axis=0, keepdims=True) * 0.0
+                 + jnp.sum(k[:, sl], axis=1, keepdims=True)) * 1e-4
+            s = jnp.broadcast_to(s, (k.shape[0], qt.shape[1]))
+        else:
+            s = jax.lax.dot_general(
+                k[:, sl], qt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (bk, Nq)
+        if os.environ.get("SIMPLE_TAD_ABLATE_EXP"):
+            p = s * 1e-4
+        else:
+            p = jnp.exp2(s)
         row_id = jax.lax.broadcasted_iota(
             jnp.int32, (rows - D, k.shape[0]), 0)
         ones_row = (row_id == 0).astype(v.dtype)
         vt_aug = jnp.concatenate([v[:, sl].T, ones_row], axis=0)
-        ot = jax.lax.dot_general(
-            vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (rows, Nq)
+        if os.environ.get("SIMPLE_TAD_ABLATE_PV"):
+            ot = jnp.broadcast_to(
+                jnp.sum(p, axis=0, keepdims=True) * 1e-4
+                + jnp.sum(vt_aug.astype(jnp.float32), axis=1,
+                          keepdims=True) * 0.0 + 1.0,
+                (rows, p.shape[1]))
+        else:
+            ot = jax.lax.dot_general(
+                vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (rows, Nq)
 
         @pl.when(ki == 0)
         def _init(h=h, ot=ot):
@@ -510,6 +527,77 @@ def _fwd_kernel_nomax_packed_kv_q8(inv_ref, q_ref, k_ref, v_ref, o_ref,
             res = (acc[:D] / denom).T * inv
             o_ref[0, :, h * D:(h + 1) * D] = jnp.clip(
                 jnp.round(res), -127, 127).astype(jnp.int8)
+
+
+def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
+                             head_dim):
+    """int8-STORAGE key-grid accumulate: q (Nq, G) and this step's k, v
+    (bk, G) arrive int8.  QK runs s8xs8->s32 (EXACT — zero-padded rows
+    and head-dim columns stay exact zeros) with the static scales folded
+    into the logit scale inside the exp2 pass; v dequantizes once in
+    VMEM and PV stays the bf16 transposed path (the int8-COMPUTE
+    falsification record in docs/ROOFLINE.md is why only storage is
+    int8).  No q transpose: the score matmul contracts dim 1 of both
+    operands directly (int8 VMEM transposes are what the packed q8io
+    kernel pays instead)."""
+    D = head_dim
+    rows = _ceil_to(D + 1, 8)
+    hpg = q.shape[-1] // D
+    for h in range(hpg):
+        head = g * hpg + h
+        sl = slice(h * D, (h + 1) * D)
+        sq = sc_ref[0, head] * (1.0 / 127.0)
+        sk = sc_ref[1, head] * (1.0 / 127.0)
+        sv = sc_ref[2, head] * (1.0 / 127.0)
+        s = jax.lax.dot_general(
+            k[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)                  # (bk, Nq)
+        p = jnp.exp2(s.astype(jnp.float32) * (sq * sk * scale * LOG2E))
+        vf = (v[:, sl].astype(jnp.float32) * sv).astype(jnp.bfloat16)
+        row_id = jax.lax.broadcasted_iota(
+            jnp.int32, (rows - D, k.shape[0]), 0)
+        ones_row = (row_id == 0).astype(vf.dtype)
+        vt_aug = jnp.concatenate([vf.T, ones_row], axis=0)
+        ot = jax.lax.dot_general(
+            vt_aug, p.astype(vf.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (rows, Nq)
+
+        @pl.when(ki == 0)
+        def _init(h=h, ot=ot):
+            acc_ref[h] = ot
+
+        @pl.when(ki > 0)
+        def _accum(h=h, ot=ot):
+            acc_ref[h] += ot
+
+
+def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
+                                     acc_ref, *, scale, n_pad, head_dim,
+                                     n_kv, int8_out):
+    """Key-grid kernel with int8 STORAGE in (optionally int8 out): the
+    long-sequence (N > single-pass cap) analogue of
+    _fwd_kernel_nomax_packed_q8io, for the separate-operand IV2 serving
+    geometry.  sc rides SMEM as (4, H): rows 0-2 q/k/v absmax, row 3
+    127/out_amax (ignored when int8_out=False)."""
+    g = pl.program_id(1)
+    ki = pl.program_id(2)
+    _kv_attend_accumulate_i8(q_ref[0], k_ref[0], v_ref[0], sc_ref, g,
+                             acc_ref, ki, scale=scale, head_dim=head_dim)
+    D = head_dim
+    hpg = q_ref.shape[-1] // D
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        for h in range(hpg):
+            acc = acc_ref[h]
+            denom = acc[D:D + 1] - n_pad if n_pad else acc[D:D + 1]
+            res = (acc[:D] / denom).T
+            if int8_out:
+                o_ref[0, :, h * D:(h + 1) * D] = jnp.clip(
+                    jnp.round(res * sc_ref[3, g * hpg + h]),
+                    -127, 127).astype(jnp.int8)
+            else:
+                o_ref[0, :, h * D:(h + 1) * D] = res.astype(o_ref.dtype)
 
 
 def _kv_grid_call(q, k, v, plan, *, num_heads, scale, n_valid, inv=None):
@@ -1079,6 +1167,103 @@ def flash_attention_qkv_i8d(qkv_i8, amax, *, num_heads: int, scale: float,
             (B, Np, C), jnp.int8 if int8_out else jnp.bfloat16),
     )(sc, qkv_i8, qkv_i8, qkv_i8)
     return out[:, :N]
+
+
+def _i8_head_pad(D: int) -> int:
+    """Padded head dim for the int8 separate-operand path: the smallest
+    divisor of 128 that holds D (zero int8 codes stay exact zeros through
+    QK and PV, so padding is exact; IV2-1B pads 88 -> 128)."""
+    for dp in (8, 16, 32, 64, 128):
+        if dp >= D:
+            return dp
+    return 0
+
+
+def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
+                        scale: float, out_amax=None, block_q: int = 0):
+    """Inference attention on int8-STORED separate q/k/v, float compute.
+
+    For models whose q/k cannot stay fused in the qkv GEMM's output:
+    InternVideo2's qk_normalization re-normalizes q and k between the
+    GEMM and the kernel (reference internvideo2.py:151-219), so the
+    quantize fuses into the RMSNorm fusion's epilogue instead of the
+    GEMM's.  q_i8/k_i8/v_i8: (B, N, H, D) int8, per-head symmetric
+    against amax (3, H) f32.  D needs only 8-alignment — dims not
+    dividing 128 are zero-padded here (exact).  Long sequences take the
+    int8 key-grid kernel; single-pass geometries the packed q8io kernel
+    with separate-operand specs.  Returns (B, N, H, D) int8 (out_amax
+    given) or bfloat16.
+    """
+    B, N, H, D = q_i8.shape
+    dp = _i8_head_pad(D)
+    assert dp, f"head dim {D} > 128 unsupported by the packed layouts"
+    if dp - D:
+        cfg = ((0, 0), (0, 0), (0, 0), (0, dp - D))
+        q_i8 = jnp.pad(q_i8, cfg)
+        k_i8 = jnp.pad(k_i8, cfg)
+        v_i8 = jnp.pad(v_i8, cfg)
+    C = H * dp
+    q = q_i8.reshape(B, N, C)
+    k = k_i8.reshape(B, N, C)
+    v = v_i8.reshape(B, N, C)
+    int8_out = out_amax is not None
+    inv_row = (127.0 / jnp.maximum(
+        jnp.asarray(out_amax if int8_out else 1.0, jnp.float32), 1e-12)
+               ) * jnp.ones((1, H), jnp.float32)
+    sc = jnp.concatenate([amax.astype(jnp.float32), inv_row], axis=0)
+    G = _LANE_GROUP
+    out_dtype = jnp.int8 if int8_out else jnp.bfloat16
+    plan = _kv_grid_plan(N, block_q) \
+        if not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") else None
+    if plan is not None:
+        Np_q, Np_k, bk, n_kv = plan
+        if Np_q - N:
+            q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
+        if Np_k - N:
+            zpad = ((0, 0), (0, Np_k - N), (0, 0))
+            k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+        rows = _ceil_to(dp + 1, 8)
+        out = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_nomax_packed_kv_q8io, scale=float(scale),
+                n_pad=Np_k - N, head_dim=dp, n_kv=n_kv, int8_out=int8_out),
+            grid=(B, C // G, n_kv),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Np_q, G), lambda b, g, ki: (b, 0, g)),
+                pl.BlockSpec((1, bk, G), lambda b, g, ki: (b, ki, g)),
+                pl.BlockSpec((1, bk, G), lambda b, g, ki: (b, ki, g)),
+            ],
+            out_specs=pl.BlockSpec((1, Np_q, G), lambda b, g, ki: (b, 0, g)),
+            out_shape=jax.ShapeDtypeStruct((B, Np_q, C), out_dtype),
+            scratch_shapes=[pltpu.VMEM((G // dp, rows, Np_q), jnp.float32)],
+        )(sc, q, k, v)
+    else:
+        Np_q, Np_k = _pad_rows_qk(N, C, dp, block_q)
+        if Np_q - N:
+            q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
+        if Np_k - N:
+            zpad = ((0, 0), (0, Np_k - N), (0, 0))
+            k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+        bq = Np_q if Np_q == Np_k and _full_seq_block(Np_q, block_q) \
+            else _packed_block_q2(Np_q, Np_k, C, dp, block_q)
+        assert bq > 0, "caller gates on i8_storage_attn_sep_supported"
+        out = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_nomax_packed_q8io, scale=float(scale),
+                n_valid=N, head_dim=dp, int8_out=int8_out),
+            grid=(B, C // G, Np_q // bq),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+                pl.BlockSpec((1, Np_k, G), lambda b, g, qi: (b, 0, g)),
+                pl.BlockSpec((1, Np_k, G), lambda b, g, qi: (b, 0, g)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
+            out_shape=jax.ShapeDtypeStruct((B, Np_q, C), out_dtype),
+        )(sc, q, k, v)
+    out = out[:, :N].reshape(B, N, H, dp)
+    return out[..., :D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

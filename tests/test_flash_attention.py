@@ -546,3 +546,42 @@ def test_i8_storage_kernel_close_to_fp():
     deq = got8.astype(np.float32) * (out_amax / 127.0)
     err8 = np.abs(deq - want).max()
     assert err8 < 0.08 * np.abs(want).max() + 0.02, err8
+
+
+@pytest.mark.parametrize("D,kv_force", [(64, None), (64, "3"), (88, None),
+                                        (88, "3")])
+def test_i8_storage_separate_operands(D, kv_force, monkeypatch):
+    """Separate-operand int8-STORAGE path (IV2: qk-norm sits between the
+    GEMM and the kernel): single-pass and key-grid kernels, including the
+    IV2-1B odd head dim (88 zero-pads to 128 — exact through QK/PV)."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_i8d
+    if kv_force is not None:
+        monkeypatch.setenv("SIMPLE_TAD_ATTN_KV_GRID", kv_force)
+    rng = np.random.default_rng(5)
+    B, N, H = 2, 200, 2
+    scale = D ** -0.5
+    qkv = rng.normal(0.0, 1.0, (3, B, N, H, D)).astype(np.float32)
+    amax = np.abs(qkv).max(axis=(1, 2, 4))                     # (3, H)
+    inv = (127.0 / amax).reshape(3, 1, 1, H, 1)
+    qkv_i8 = np.clip(np.round(qkv * inv), -127, 127).astype(np.int8)
+    q, k, v = (jnp.asarray(t) for t in qkv)
+    want = np.asarray(_naive_attention(q, k, v, scale))        # (B,N,H,D)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention_i8d(
+            jnp.asarray(qkv_i8[0]), jnp.asarray(qkv_i8[1]),
+            jnp.asarray(qkv_i8[2]), jnp.asarray(amax.astype(np.float32)),
+            num_heads=H, scale=scale), np.float32)
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err < 0.06 * np.abs(want).max() + 0.02, err
+
+    out_amax = float(np.abs(want).max())
+    with pltpu.force_tpu_interpret_mode():
+        got8 = np.asarray(flash_attention_i8d(
+            jnp.asarray(qkv_i8[0]), jnp.asarray(qkv_i8[1]),
+            jnp.asarray(qkv_i8[2]), jnp.asarray(amax.astype(np.float32)),
+            num_heads=H, scale=scale, out_amax=out_amax), np.int8)
+    deq = got8.astype(np.float32) * (out_amax / 127.0)
+    err8 = np.abs(deq - want).max()
+    assert err8 < 0.08 * np.abs(want).max() + 0.02, err8

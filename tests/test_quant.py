@@ -338,3 +338,41 @@ def test_static_quant_i8_storage_attention_drift(monkeypatch):
     assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
         (np.abs(got - want).max(), scale)
     assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
+
+
+def test_iv2_static_quant_i8_storage_attention_drift(monkeypatch):
+    """IV2 int8 serving with the SEPARATE-operand int8-STORAGE attention
+    (q/k quantize after qk_normalization against calibrated per-head
+    scales) tracks the bf16 logits — the round-4 IV2 serving path."""
+    import dataclasses as dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simple_tad_tpu.models.internvideo2 import IV2Config, InternVideo2
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    # embed 128 / 2 heads -> D=64, C=128: the packed-kernel geometry gate
+    # (C % 128 == 0) actually engages, so the static apply below really
+    # runs flash_attention_i8d rather than silently falling back
+    cfg = IV2Config(img_size=28, patch_size=14, embed_dim=128, depth=2,
+                    num_heads=2, mlp_ratio=4.0, num_frames=4,
+                    attn_pool_num_heads=2, clip_embed_dim=32,
+                    drop_path_rate=0.0, init_scale=1.0, attn_impl="auto")
+    fp = InternVideo2(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 28, 28, 3))
+    params = fp.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree.map(lambda a: a * 3.0 if a.ndim >= 2 else a, params)
+    want = np.asarray(fp.apply({"params": params}, x))
+
+    from simple_tad_tpu.ops.attention import i8_storage_attn_sep_supported
+    monkeypatch.setenv("SIMPLE_TAD_FORCE_QKV_I8", "1")
+    assert i8_storage_attn_sep_supported(17, 2, 64)   # gate engages
+    with pltpu.force_tpu_interpret_mode():
+        qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+        assert "qkv_amax" in qparams["blocks"]["attn"]
+        assert qparams["blocks"]["attn"]["qkv_amax"].shape == (2, 3, 2)
+        got = np.asarray(qmodel.apply({"params": qparams}, x))
+    scale = np.abs(want).max()
+    assert scale > 1e-3
+    assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
+        (np.abs(got - want).max(), scale)
