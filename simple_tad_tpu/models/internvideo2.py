@@ -84,7 +84,7 @@ class IV2Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, n_valid=None):
         from simple_tad_tpu.models.layers import QuantDense
         B, N, C = x.shape
         head_dim = C // self.num_heads
@@ -152,10 +152,14 @@ class IV2Attention(nn.Module):
             out = flash_attention_i8d(
                 q8(q, 0), q8(k, 1), q8(v, 2), amax3h,
                 num_heads=self.num_heads, scale=head_dim ** -0.5,
-                out_amax=out_amax)
+                out_amax=out_amax, n_valid=n_valid)
             if out_amax is None:
                 out = out.astype(self.dtype)
         else:
+            # model-level sequence padding is only exact through the
+            # masking kernels — the model gates the pad on the i8 branch
+            assert n_valid is None, \
+                "n_valid requires the int8-storage attention path"
             out = dot_product_attention(q, k, v, scale=head_dim ** -0.5,
                                         impl=self.attn_impl,
                                         deterministic=deterministic,
@@ -189,7 +193,8 @@ class IV2Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True):
+    def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True,
+                 n_valid=None):
         from simple_tad_tpu.models.layers import QuantDense
         use_dp = not deterministic
 
@@ -204,7 +209,7 @@ class IV2Block(nn.Module):
                          self.quant, self.quant_mode, self.dtype,
                          name="attn")(
             RMSNorm(self.dim, dtype=self.dtype, name="norm1")(x),
-            deterministic)
+            deterministic, n_valid)
         h = ls("gamma_1", h)
         if use_dp:
             h = drop_path(h, drop_path_rate, deterministic,
@@ -411,6 +416,30 @@ class InternVideo2(nn.Module):
                              (1, cfg.num_patches + 1, cfg.embed_dim))
         tokens = tokens + pos.astype(cfg.dtype)
 
+        # model-level sequence once-padding (round 4): the serving
+        # kernels otherwise pad q/k/v rows and slice the output back in
+        # EVERY layer — real HBM copies (2049 -> 2056 at IV2-B/1B
+        # sliding-window geometry).  Pad the token sequence once here,
+        # carry n_valid through the blocks, and the kernels mask the
+        # garbage keys to -inf in the exp2 pass (padded rows are
+        # row-local through LN/GEMM/MLP, so only attention needs care);
+        # sliced back off before the pooling head.  Serving-only: the
+        # gate requires the int8-storage separate-operand path that
+        # implements the masking.
+        n_valid = None
+        n_tok = tokens.shape[1]
+        if (cfg.quant and cfg.quant_mode == "static" and deterministic
+                and cfg.attn_impl == "auto"):
+            from simple_tad_tpu.ops.attention import (
+                attn_seq_pad, i8_storage_attn_sep_supported)
+            head_dim = cfg.embed_dim // cfg.num_heads
+            np_seq = attn_seq_pad(n_tok, cfg.num_heads, head_dim)
+            if np_seq is not None and i8_storage_attn_sep_supported(
+                    np_seq, cfg.num_heads, head_dim):
+                tokens = jnp.pad(tokens, ((0, 0), (0, np_seq - n_tok),
+                                          (0, 0)))
+                n_valid = n_tok
+
         dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         block = IV2Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                          cfg.qkv_bias, cfg.init_values,
@@ -419,7 +448,7 @@ class InternVideo2(nn.Module):
                          name="blocks")
 
         def body(blk, carry, rate):
-            return blk(carry, rate, deterministic), None
+            return blk(carry, rate, deterministic, n_valid), None
 
         if cfg.remat:
             from simple_tad_tpu.models.layers import remat_policy
@@ -436,8 +465,13 @@ class InternVideo2(nn.Module):
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                     cfg.qkv_bias, cfg.init_values, cfg.qk_normalization,
                     cfg.attn_impl, cfg.quant, cfg.quant_mode, cfg.dtype,
-                    name=f"blocks_{i}")(tokens, dpr[i], deterministic)
+                    name=f"blocks_{i}")(tokens, dpr[i], deterministic,
+                                        n_valid)
 
+        if n_valid is not None:
+            # drop the garbage pad rows before the pooling head (it
+            # mean-reduces and cross-attends over every row)
+            tokens = tokens[:, :n_valid]
         feats = AttentionPooling(cfg.embed_dim, cfg.attn_pool_num_heads,
                                  cfg.clip_embed_dim, qkv_bias=True,
                                  dtype=cfg.dtype,

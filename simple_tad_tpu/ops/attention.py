@@ -109,6 +109,44 @@ def i8_storage_attn_sep_supported(N: int, num_heads: int,
     return _packed_block_q(_pad_rows(N), num_heads * dp, dp, 0) > 0
 
 
+def attn_seq_pad(N: int, num_heads: int, head_dim: int):
+    """Physical sequence length for MODEL-LEVEL once-padding, or None.
+
+    The serving kernels otherwise pad q/k/v rows EVERY LAYER (and slice
+    the output back), each a real HBM copy — at IV2-B's 2049-token
+    windows that is 4 copies x 12 layers a batch.  Padding the token
+    sequence ONCE after the embed (zeros) and carrying n_valid through
+    the blocks removes all of them; padded rows flow through LN/GEMMs as
+    bounded garbage (row-local ops), and the kernels mask garbage KEYS
+    to -inf in the exp2 pass (measured free on v5e — docs/ROOFLINE.md
+    round-3 falsification list) so valid rows stay exact.
+
+    Returns the length the attention plans would pick themselves, so the
+    per-layer pads become no-ops; None when padding buys nothing here.
+    """
+    from simple_tad_tpu.ops.flash_attention import (_i8_head_pad,
+                                                    _kv_grid_plan,
+                                                    _pad_rows_qk)
+    if os.environ.get("SIMPLE_TAD_NO_SEQ_PAD"):
+        return None
+    if not (jax.default_backend() == "tpu"
+            or os.environ.get("SIMPLE_TAD_FORCE_QKV_I8")):
+        return None
+    if os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T"):
+        return None
+    dp = _i8_head_pad(head_dim)
+    if not dp or (num_heads * dp) % 128 != 0:
+        return None
+    plan = _kv_grid_plan(N, 0)
+    if plan is not None:
+        Np_q = plan[0]
+    else:
+        Np_q, _ = _pad_rows_qk(N, num_heads * dp, dp, 0)
+    # a key grid that overshoots Np_q (bk * n_kv > Nq) keeps a small
+    # per-layer k/v pad — the driver masks those rows like the rest
+    return Np_q if Np_q > N else None
+
+
 def int8_attn_supported(N: int, C: int, num_heads: int) -> bool:
     """Can the static-calibrated int8 attention kernel serve this geometry?
 

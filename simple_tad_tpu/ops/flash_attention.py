@@ -172,7 +172,8 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
 
 
 def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
-                   return_denom: bool = False, qk_scale_i8=None):
+                   return_denom: bool = False, qk_scale_i8=None,
+                   mask_keys: bool = False):
     """Transposed-PV single-pass attention: scores and probs live as
     (Np, Bq) tiles (keys on the SUBLANE axis) so the PV matmul runs as
     o^T = [v^T; ones-row] @ p^T with the head dim on the M axis.
@@ -189,6 +190,12 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
     qk_scale_i8: int8-STORAGE mode — q/k arrive int8 and the score matmul
     runs s8xs8->s32 (exact), scaled afterwards by this sq*sk product
     (v must arrive already dequantized to a float dtype).
+    mask_keys: padded key rows hold GARBAGE, not zeros (the caller padded
+    the whole token sequence once at the model level, so padded rows have
+    flowed through LN/GEMM epilogues) — mask their scores to -inf with an
+    iota select instead of the zero-row denominator-subtraction trick.
+    The select was measured FREE on v5e (Mosaic fuses it into the exp2
+    pass; docs/ROOFLINE.md round-3 falsifications).
     """
     Np = k.shape[0]
     D = v.shape[1]
@@ -210,8 +217,13 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
             k, qt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (Np, Bq)
     # padded keys: exact zero rows -> p = exp2(0) = 1 -> constant
-    # denominator correction instead of a masking pass (see _attend_rows)
-    n_pad = Np - n_valid
+    # denominator correction instead of a masking pass (see _attend_rows);
+    # mask_keys (garbage rows) masks to -inf instead — exp2(-inf) = 0, so
+    # no correction
+    n_pad = 0 if mask_keys else Np - n_valid
+    if mask_keys and Np - n_valid:
+        kid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kid < n_valid, s, -jnp.inf)
     if os.environ.get("SIMPLE_TAD_ABLATE_EXP"):
         p = s * 1e-4   # measurement knob: softmax-exp cost via A/B delta
     else:
@@ -238,7 +250,7 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
 
 
 def _fwd_kernel_nomax_packed_q8(inv_ref, q_ref, k_ref, v_ref, o_ref, *,
-                                scale, n_valid, head_dim):
+                                scale, n_valid, head_dim, mask_keys=False):
     """Packed inference kernel with an int8 OUTPUT epilogue: the attention
     result quantizes against the proj GEMM's calibrated absmax before it
     ever touches HBM (half the output traffic, and the separate XLA
@@ -254,8 +266,10 @@ def _fwd_kernel_nomax_packed_q8(inv_ref, q_ref, k_ref, v_ref, o_ref, *,
         sl = slice(h * head_dim, (h + 1) * head_dim)
         if pv_t:
             res = _attend_rows_t(q[:, sl], k[:, sl], v[:, sl], scale=scale,
-                                 n_valid=n_valid, out_dtype=jnp.float32)
+                                 n_valid=n_valid, out_dtype=jnp.float32,
+                                 mask_keys=mask_keys)
         else:
+            assert not mask_keys, "mask_keys needs the transposed-PV path"
             res = _attend_rows(q[:, sl], k[:, sl], v[:, sl], scale=scale,
                                n_valid=n_valid, fuse_l=(head_dim % 128) != 0,
                                int8_qk=False, out_dtype=jnp.float32)
@@ -264,7 +278,8 @@ def _fwd_kernel_nomax_packed_q8(inv_ref, q_ref, k_ref, v_ref, o_ref, *,
 
 
 def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
-                             head_dim, fuse_l=False, int8_qk=False):
+                             head_dim, fuse_l=False, int8_qk=False,
+                             mask_keys=False):
     """Single-pass kernel on the qkv GEMM's native packed (B, N, C) layout.
 
     Each grid step receives a 128-LANE slice of the channel axis (one or
@@ -288,8 +303,9 @@ def _fwd_kernel_nomax_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
         if pv_t:
             o_ref[0, :, sl] = _attend_rows_t(
                 q[:, sl], k[:, sl], v[:, sl], scale=scale,
-                n_valid=n_valid, out_dtype=o_ref.dtype)
+                n_valid=n_valid, out_dtype=o_ref.dtype, mask_keys=mask_keys)
         else:
+            assert not mask_keys, "mask_keys needs the transposed-PV path"
             o_ref[0, :, sl] = _attend_rows(
                 q[:, sl], k[:, sl], v[:, sl], scale=scale, n_valid=n_valid,
                 fuse_l=fuse_l, int8_qk=int8_qk, out_dtype=o_ref.dtype)
@@ -434,7 +450,8 @@ def _kv_grid_plan(N: int, block_q: int):
     return None
 
 
-def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim):
+def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim,
+                          mask_valid=None):
     """Accumulate one key block's transposed-PV partials into scratch.
 
     q (Nq, G) is the FULL padded query sequence (its scale/transpose per
@@ -444,9 +461,12 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim):
     accumulated UNNORMALIZED output^T and row D the ones-row softmax
     denominator (padded zero keys contribute exp2(0) = 1 there; the
     finalize step subtracts the constant pad count, same trick as
-    _attend_rows)."""
+    _attend_rows).  mask_valid: padded key rows hold GARBAGE (model-level
+    sequence padding) — mask scores at global key index >= mask_valid to
+    -inf instead of relying on zero rows (no finalize correction)."""
     D = head_dim
     rows = _ceil_to(D + 1, 8)
+    bk = k.shape[0]
     for h in range(q.shape[-1] // D):
         sl = slice(h * D, (h + 1) * D)
         qt = (q[:, sl].astype(jnp.float32)
@@ -456,11 +476,14 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim):
             # in-kernel component costs via whole-kernel A/B deltas
             s = (jnp.sum(qt, axis=0, keepdims=True) * 0.0
                  + jnp.sum(k[:, sl], axis=1, keepdims=True)) * 1e-4
-            s = jnp.broadcast_to(s, (k.shape[0], qt.shape[1]))
+            s = jnp.broadcast_to(s, (bk, qt.shape[1]))
         else:
             s = jax.lax.dot_general(
                 k[:, sl], qt, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)             # (bk, Nq)
+        if mask_valid is not None:
+            kid = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            s = jnp.where(kid < mask_valid, s, -jnp.inf)
         if os.environ.get("SIMPLE_TAD_ABLATE_EXP"):
             p = s * 1e-4
         else:
@@ -490,14 +513,18 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim):
 
 
 def _fwd_kernel_nomax_packed_kv(q_ref, k_ref, v_ref, o_ref, acc_ref, *,
-                                scale, n_pad, head_dim, n_kv):
+                                scale, n_pad, head_dim, n_kv,
+                                mask_valid=None):
     """Key-grid packed inference kernel (bf16/f32 out): accumulate over
     key blocks, normalize + write the output block on the last step (its
     BlockSpec is constant over the kv axis, so it flushes once)."""
     ki = pl.program_id(2)
     _kv_attend_accumulate(q_ref[0], k_ref[0], v_ref[0], acc_ref, ki,
-                          scale=scale, head_dim=head_dim)
+                          scale=scale, head_dim=head_dim,
+                          mask_valid=mask_valid)
     D = head_dim
+    if mask_valid is not None:
+        n_pad = 0                   # masked keys contribute exp2(-inf) = 0
 
     @pl.when(ki == n_kv - 1)
     def _finalize():
@@ -510,13 +537,16 @@ def _fwd_kernel_nomax_packed_kv(q_ref, k_ref, v_ref, o_ref, acc_ref, *,
 
 def _fwd_kernel_nomax_packed_kv_q8(inv_ref, q_ref, k_ref, v_ref, o_ref,
                                    acc_ref, *, scale, n_pad, head_dim,
-                                   n_kv):
+                                   n_kv, mask_valid=None):
     """Key-grid packed kernel with the int8 output epilogue (see
     _fwd_kernel_nomax_packed_q8)."""
     ki = pl.program_id(2)
     _kv_attend_accumulate(q_ref[0], k_ref[0], v_ref[0], acc_ref, ki,
-                          scale=scale, head_dim=head_dim)
+                          scale=scale, head_dim=head_dim,
+                          mask_valid=mask_valid)
     D = head_dim
+    if mask_valid is not None:
+        n_pad = 0
 
     @pl.when(ki == n_kv - 1)
     def _finalize():
@@ -530,7 +560,7 @@ def _fwd_kernel_nomax_packed_kv_q8(inv_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
-                             head_dim):
+                             head_dim, mask_valid=None):
     """int8-STORAGE key-grid accumulate: q (Nq, G) and this step's k, v
     (bk, G) arrive int8.  QK runs s8xs8->s32 (EXACT — zero-padded rows
     and head-dim columns stay exact zeros) with the static scales folded
@@ -552,7 +582,12 @@ def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
         s = jax.lax.dot_general(
             k[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)                  # (bk, Nq)
-        p = jnp.exp2(s.astype(jnp.float32) * (sq * sk * scale * LOG2E))
+        sf = s.astype(jnp.float32) * (sq * sk * scale * LOG2E)
+        if mask_valid is not None:
+            kid = ki * k.shape[0] + jax.lax.broadcasted_iota(
+                jnp.int32, sf.shape, 0)
+            sf = jnp.where(kid < mask_valid, sf, -jnp.inf)
+        p = jnp.exp2(sf)
         vf = (v[:, sl].astype(jnp.float32) * sv).astype(jnp.bfloat16)
         row_id = jax.lax.broadcasted_iota(
             jnp.int32, (rows - D, k.shape[0]), 0)
@@ -573,7 +608,7 @@ def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
 
 def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
                                      acc_ref, *, scale, n_pad, head_dim,
-                                     n_kv, int8_out):
+                                     n_kv, int8_out, mask_valid=None):
     """Key-grid kernel with int8 STORAGE in (optionally int8 out): the
     long-sequence (N > single-pass cap) analogue of
     _fwd_kernel_nomax_packed_q8io, for the separate-operand IV2 serving
@@ -582,9 +617,12 @@ def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
     g = pl.program_id(1)
     ki = pl.program_id(2)
     _kv_attend_accumulate_i8(q_ref[0], k_ref[0], v_ref[0], sc_ref, g,
-                             acc_ref, ki, scale=scale, head_dim=head_dim)
+                             acc_ref, ki, scale=scale, head_dim=head_dim,
+                             mask_valid=mask_valid)
     D = head_dim
     hpg = q_ref.shape[-1] // D
+    if mask_valid is not None:
+        n_pad = 0
 
     @pl.when(ki == n_kv - 1)
     def _finalize():
@@ -1077,7 +1115,8 @@ def flash_attention_qkv_int8(qkv_i8, amax, *, num_heads: int, scale: float,
 
 
 def _fwd_kernel_nomax_packed_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref, *,
-                                  scale, n_valid, head_dim, int8_out):
+                                  scale, n_valid, head_dim, int8_out,
+                                  mask_keys=False):
     """int8-STORAGE attention (round 4): int8 qkv IN, float COMPUTE,
     optionally int8 OUT.
 
@@ -1110,7 +1149,7 @@ def _fwd_kernel_nomax_packed_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref, *,
         vf = (v[:, sl].astype(jnp.float32) * sv).astype(jnp.bfloat16)
         res = _attend_rows_t(q[:, sl], k[:, sl], vf, scale=scale,
                              n_valid=n_valid, out_dtype=jnp.float32,
-                             qk_scale_i8=sq * sk)
+                             qk_scale_i8=sq * sk, mask_keys=mask_keys)
         if int8_out:
             o_ref[0, :, sl] = jnp.clip(jnp.round(res * sc_ref[3, head]),
                                        -127, 127).astype(jnp.int8)
@@ -1180,7 +1219,8 @@ def _i8_head_pad(D: int) -> int:
 
 
 def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
-                        scale: float, out_amax=None, block_q: int = 0):
+                        scale: float, out_amax=None, block_q: int = 0,
+                        n_valid=None):
     """Inference attention on int8-STORED separate q/k/v, float compute.
 
     For models whose q/k cannot stay fused in the qkv GEMM's output:
@@ -1193,8 +1233,16 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
     int8 key-grid kernel; single-pass geometries the packed q8io kernel
     with separate-operand specs.  Returns (B, N, H, D) int8 (out_amax
     given) or bfloat16.
+
+    n_valid: the caller padded the TOKEN SEQUENCE once at the model level
+    (ops.attention.attn_seq_pad), so N is already the kernel-friendly
+    physical length and rows >= n_valid hold garbage — no row pads or
+    output slices here (their per-layer HBM copies are the point of the
+    model-level pad); the kernels mask garbage keys to -inf in the exp2
+    pass instead of using the zero-row denominator trick.
     """
     B, N, H, D = q_i8.shape
+    mask_valid = n_valid if (n_valid is not None and n_valid < N) else None
     dp = _i8_head_pad(D)
     assert dp, f"head dim {D} > 128 unsupported by the packed layouts"
     if dp - D:
@@ -1217,6 +1265,12 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
         if not os.environ.get("SIMPLE_TAD_NO_ATTN_PV_T") else None
     if plan is not None:
         Np_q, Np_k, bk, n_kv = plan
+        if mask_valid is not None:
+            # the model padded the sequence to the plan's query length;
+            # a plan whose key grid overshoots (bk * n_kv > Nq) still
+            # zero-pads k/v the few extra rows — masked like the rest
+            assert Np_q == N, \
+                "attn_seq_pad must return the plan's own padded length"
         if Np_q - N:
             q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
         if Np_k - N:
@@ -1226,7 +1280,8 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
         out = pl.pallas_call(
             functools.partial(
                 _fwd_kernel_nomax_packed_kv_q8io, scale=float(scale),
-                n_pad=Np_k - N, head_dim=dp, n_kv=n_kv, int8_out=int8_out),
+                n_pad=Np_k - N, head_dim=dp, n_kv=n_kv, int8_out=int8_out,
+                mask_valid=mask_valid),
             grid=(B, C // G, n_kv),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1240,6 +1295,9 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
         )(sc, q, k, v)
     else:
         Np_q, Np_k = _pad_rows_qk(N, C, dp, block_q)
+        if mask_valid is not None:
+            assert Np_q == N, \
+                "attn_seq_pad must return the plan's own padded length"
         if Np_q - N:
             q = jnp.pad(q, ((0, 0), (0, Np_q - N), (0, 0)))
         if Np_k - N:
@@ -1251,7 +1309,9 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
         out = pl.pallas_call(
             functools.partial(
                 _fwd_kernel_nomax_packed_q8io, scale=float(scale),
-                n_valid=N, head_dim=dp, int8_out=int8_out),
+                n_valid=N if mask_valid is None else mask_valid,
+                head_dim=dp, int8_out=int8_out,
+                mask_keys=mask_valid is not None),
             grid=(B, C // G, Np_q // bq),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1262,7 +1322,9 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
             out_specs=pl.BlockSpec((1, bq, G), lambda b, g, qi: (b, qi, g)),
             out_shape=jax.ShapeDtypeStruct((B, Np_q, C), out_dtype),
         )(sc, q, k, v)
-    out = out[:, :N].reshape(B, N, H, dp)
+    if Np_q - N:
+        out = out[:, :N]
+    out = out.reshape(B, N, H, dp)
     return out[..., :D]
 
 

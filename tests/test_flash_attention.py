@@ -585,3 +585,33 @@ def test_i8_storage_separate_operands(D, kv_force, monkeypatch):
     deq = got8.astype(np.float32) * (out_amax / 127.0)
     err8 = np.abs(deq - want).max()
     assert err8 < 0.08 * np.abs(want).max() + 0.02, err8
+
+
+@pytest.mark.parametrize("kv_force", [None, "3"])
+def test_i8_storage_masked_garbage_rows(kv_force, monkeypatch):
+    """n_valid mode (model-level sequence once-padding): rows beyond
+    n_valid hold GARBAGE, the kernels mask those keys to -inf, and the
+    VALID rows must match the kernel run on the valid-only inputs
+    EXACTLY (same int8 codes -> identical scores and probs)."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_i8d
+    if kv_force is not None:
+        monkeypatch.setenv("SIMPLE_TAD_ATTN_KV_GRID", kv_force)
+    rng = np.random.default_rng(9)
+    B, Np, nv, H, D = 2, 208, 199, 2, 64
+    scale = D ** -0.5
+    qkv = rng.normal(0.0, 1.0, (3, B, Np, H, D)).astype(np.float32)
+    amax = np.abs(qkv[:, :, :nv]).max(axis=(1, 2, 4))
+    inv = (127.0 / amax).reshape(3, 1, 1, H, 1)
+    qkv_i8 = np.clip(np.round(qkv * inv), -127, 127).astype(np.int8)
+
+    with pltpu.force_tpu_interpret_mode():
+        masked = np.asarray(flash_attention_i8d(
+            *(jnp.asarray(t) for t in qkv_i8),
+            jnp.asarray(amax.astype(np.float32)), num_heads=H,
+            scale=scale, n_valid=nv), np.float32)
+        # reference: same int8 codes, valid rows only, zero-pad semantics
+        ref = np.asarray(flash_attention_i8d(
+            *(jnp.asarray(t[:, :nv]) for t in qkv_i8),
+            jnp.asarray(amax.astype(np.float32)), num_heads=H,
+            scale=scale), np.float32)
+    np.testing.assert_allclose(masked[:, :nv], ref, atol=2e-2, rtol=2e-2)

@@ -376,3 +376,12 @@ def test_iv2_static_quant_i8_storage_attention_drift(monkeypatch):
     assert scale > 1e-3
     assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
         (np.abs(got - want).max(), scale)
+
+    # model-level sequence once-padding (engaged above: 17 tokens pad to
+    # 24 with garbage rows, keys masked in-kernel) must be EXACT vs the
+    # per-layer-padding path — same int8 codes, same math, only the HBM
+    # copies differ
+    monkeypatch.setenv("SIMPLE_TAD_NO_SEQ_PAD", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got_np = np.asarray(qmodel.apply({"params": qparams}, x))
+    np.testing.assert_allclose(got, got_np, atol=1e-5, rtol=1e-5)
