@@ -173,7 +173,7 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
 
 def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
                    return_denom: bool = False, qk_scale_i8=None,
-                   mask_keys: bool = False):
+                   mask_keys: bool = False, real_dim=None):
     """Transposed-PV single-pass attention: scores and probs live as
     (Np, Bq) tiles (keys on the SUBLANE axis) so the PV matmul runs as
     o^T = [v^T; ones-row] @ p^T with the head dim on the M axis.
@@ -196,9 +196,18 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
     iota select instead of the zero-row denominator-subtraction trick.
     The select was measured FREE on v5e (Mosaic fuses it into the exp2
     pass; docs/ROOFLINE.md round-3 falsifications).
+    real_dim: VALID head dim when the lane axis is zero-padded (IV2-1B:
+    88 stored as 128).  The head-dim lane pad is free in QK (contraction
+    over 128 physical lanes either way) but NOT in PV: the transposed
+    orientation streams Dh on the M axis, so padded dims are real MXU
+    rows.  Slicing v^T to the valid rows (8-sublane aligned) cuts the PV
+    matmul from ceil8(129)=136 to ceil8(89)=96 rows — exact, because the
+    skipped rows are zero v columns producing zero outputs the caller
+    slices off anyway.
     """
     Np = k.shape[0]
     D = v.shape[1]
+    De = real_dim if real_dim is not None else D
     if qk_scale_i8 is not None:
         s = jax.lax.dot_general(
             k, q.T, (((1,), (0,)), ((), ())),
@@ -228,10 +237,11 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
         p = s * 1e-4   # measurement knob: softmax-exp cost via A/B delta
     else:
         p = jnp.exp2(s)
-    rows = _ceil_to(D + 1, 8)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows - D, Np), 0)
+    rows = _ceil_to(De + 1, 8)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows - De, Np), 0)
     ones_row = (row_id == 0).astype(v.dtype)
-    vt_aug = jnp.concatenate([v.T, ones_row], axis=0)    # (rows, Np)
+    vt = v.T if De == D else v.T[:De]
+    vt_aug = jnp.concatenate([vt, ones_row], axis=0)     # (rows, Np)
     if os.environ.get("SIMPLE_TAD_ABLATE_PV"):
         # measurement knob: PV-matmul cost (reduce p and v cheaply)
         ot = jnp.broadcast_to(
@@ -242,8 +252,11 @@ def _attend_rows_t(q, k, v, *, scale, n_valid, out_dtype,
         ot = jax.lax.dot_general(
             vt_aug, p.astype(v.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (rows, Bq)
-    denom = ot[D:D + 1] - n_pad if n_pad else ot[D:D + 1]
-    out = (ot[:D] / denom).T.astype(out_dtype)
+    denom = ot[De:De + 1] - n_pad if n_pad else ot[De:De + 1]
+    out = (ot[:De] / denom).T
+    if De != D:
+        out = jnp.pad(out, ((0, 0), (0, D - De)))
+    out = out.astype(out_dtype)
     if return_denom:
         return out, denom
     return out
@@ -451,7 +464,7 @@ def _kv_grid_plan(N: int, block_q: int):
 
 
 def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim,
-                          mask_valid=None):
+                          mask_valid=None, real_dim=None):
     """Accumulate one key block's transposed-PV partials into scratch.
 
     q (Nq, G) is the FULL padded query sequence (its scale/transpose per
@@ -463,9 +476,12 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim,
     finalize step subtracts the constant pad count, same trick as
     _attend_rows).  mask_valid: padded key rows hold GARBAGE (model-level
     sequence padding) — mask scores at global key index >= mask_valid to
-    -inf instead of relying on zero rows (no finalize correction)."""
+    -inf instead of relying on zero rows (no finalize correction).
+    real_dim: valid head dim under lane padding (see _attend_rows_t) —
+    the accumulator and PV matmul shrink to ceil8(real_dim+1) rows."""
     D = head_dim
-    rows = _ceil_to(D + 1, 8)
+    De = real_dim if real_dim is not None else D
+    rows = _ceil_to(De + 1, 8)
     bk = k.shape[0]
     for h in range(q.shape[-1] // D):
         sl = slice(h * D, (h + 1) * D)
@@ -489,9 +505,10 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim,
         else:
             p = jnp.exp2(s)
         row_id = jax.lax.broadcasted_iota(
-            jnp.int32, (rows - D, k.shape[0]), 0)
+            jnp.int32, (rows - De, k.shape[0]), 0)
         ones_row = (row_id == 0).astype(v.dtype)
-        vt_aug = jnp.concatenate([v[:, sl].T, ones_row], axis=0)
+        vt = v[:, sl].T if De == D else v[:, sl].T[:De]
+        vt_aug = jnp.concatenate([vt, ones_row], axis=0)
         if os.environ.get("SIMPLE_TAD_ABLATE_PV"):
             ot = jnp.broadcast_to(
                 jnp.sum(p, axis=0, keepdims=True) * 1e-4
@@ -514,15 +531,16 @@ def _kv_attend_accumulate(q, k, v, acc_ref, ki, *, scale, head_dim,
 
 def _fwd_kernel_nomax_packed_kv(q_ref, k_ref, v_ref, o_ref, acc_ref, *,
                                 scale, n_pad, head_dim, n_kv,
-                                mask_valid=None):
+                                mask_valid=None, real_dim=None):
     """Key-grid packed inference kernel (bf16/f32 out): accumulate over
     key blocks, normalize + write the output block on the last step (its
     BlockSpec is constant over the kv axis, so it flushes once)."""
     ki = pl.program_id(2)
     _kv_attend_accumulate(q_ref[0], k_ref[0], v_ref[0], acc_ref, ki,
                           scale=scale, head_dim=head_dim,
-                          mask_valid=mask_valid)
+                          mask_valid=mask_valid, real_dim=real_dim)
     D = head_dim
+    De = real_dim if real_dim is not None else D
     if mask_valid is not None:
         n_pad = 0                   # masked keys contribute exp2(-inf) = 0
 
@@ -530,21 +548,24 @@ def _fwd_kernel_nomax_packed_kv(q_ref, k_ref, v_ref, o_ref, acc_ref, *,
     def _finalize():
         for h in range(q_ref.shape[-1] // D):
             acc = acc_ref[h]
-            denom = acc[D:D + 1] - n_pad if n_pad else acc[D:D + 1]
-            o_ref[0, :, h * D:(h + 1) * D] = (
-                acc[:D] / denom).T.astype(o_ref.dtype)
+            denom = acc[De:De + 1] - n_pad if n_pad else acc[De:De + 1]
+            res = (acc[:De] / denom).T
+            if De != D:
+                res = jnp.pad(res, ((0, 0), (0, D - De)))
+            o_ref[0, :, h * D:(h + 1) * D] = res.astype(o_ref.dtype)
 
 
 def _fwd_kernel_nomax_packed_kv_q8(inv_ref, q_ref, k_ref, v_ref, o_ref,
                                    acc_ref, *, scale, n_pad, head_dim,
-                                   n_kv, mask_valid=None):
+                                   n_kv, mask_valid=None, real_dim=None):
     """Key-grid packed kernel with the int8 output epilogue (see
     _fwd_kernel_nomax_packed_q8)."""
     ki = pl.program_id(2)
     _kv_attend_accumulate(q_ref[0], k_ref[0], v_ref[0], acc_ref, ki,
                           scale=scale, head_dim=head_dim,
-                          mask_valid=mask_valid)
+                          mask_valid=mask_valid, real_dim=real_dim)
     D = head_dim
+    De = real_dim if real_dim is not None else D
     if mask_valid is not None:
         n_pad = 0
 
@@ -553,14 +574,16 @@ def _fwd_kernel_nomax_packed_kv_q8(inv_ref, q_ref, k_ref, v_ref, o_ref,
         inv = inv_ref[0, 0]
         for h in range(q_ref.shape[-1] // D):
             acc = acc_ref[h]
-            denom = acc[D:D + 1] - n_pad if n_pad else acc[D:D + 1]
-            res = (acc[:D] / denom).T * inv
+            denom = acc[De:De + 1] - n_pad if n_pad else acc[De:De + 1]
+            res = (acc[:De] / denom).T * inv
+            if De != D:
+                res = jnp.pad(res, ((0, 0), (0, D - De)))
             o_ref[0, :, h * D:(h + 1) * D] = jnp.clip(
                 jnp.round(res), -127, 127).astype(jnp.int8)
 
 
 def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
-                             head_dim, mask_valid=None):
+                             head_dim, mask_valid=None, real_dim=None):
     """int8-STORAGE key-grid accumulate: q (Nq, G) and this step's k, v
     (bk, G) arrive int8.  QK runs s8xs8->s32 (EXACT — zero-padded rows
     and head-dim columns stay exact zeros) with the static scales folded
@@ -569,9 +592,12 @@ def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
     falsification record in docs/ROOFLINE.md is why only storage is
     int8).  No q transpose: the score matmul contracts dim 1 of both
     operands directly (int8 VMEM transposes are what the packed q8io
-    kernel pays instead)."""
+    kernel pays instead).  real_dim: valid head dim under lane padding
+    (IV2-1B 88-in-128) — PV and the accumulator shrink to
+    ceil8(real_dim+1) rows (see _attend_rows_t)."""
     D = head_dim
-    rows = _ceil_to(D + 1, 8)
+    De = real_dim if real_dim is not None else D
+    rows = _ceil_to(De + 1, 8)
     hpg = q.shape[-1] // D
     for h in range(hpg):
         head = g * hpg + h
@@ -590,9 +616,10 @@ def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
         p = jnp.exp2(sf)
         vf = (v[:, sl].astype(jnp.float32) * sv).astype(jnp.bfloat16)
         row_id = jax.lax.broadcasted_iota(
-            jnp.int32, (rows - D, k.shape[0]), 0)
+            jnp.int32, (rows - De, k.shape[0]), 0)
         ones_row = (row_id == 0).astype(vf.dtype)
-        vt_aug = jnp.concatenate([vf.T, ones_row], axis=0)
+        vt = vf.T if De == D else vf.T[:De]
+        vt_aug = jnp.concatenate([vt, ones_row], axis=0)
         ot = jax.lax.dot_general(
             vt_aug, p.astype(vf.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (rows, Nq)
@@ -608,7 +635,8 @@ def _kv_attend_accumulate_i8(q, k, v, sc_ref, g, acc_ref, ki, *, scale,
 
 def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
                                      acc_ref, *, scale, n_pad, head_dim,
-                                     n_kv, int8_out, mask_valid=None):
+                                     n_kv, int8_out, mask_valid=None,
+                                     real_dim=None):
     """Key-grid kernel with int8 STORAGE in (optionally int8 out): the
     long-sequence (N > single-pass cap) analogue of
     _fwd_kernel_nomax_packed_q8io, for the separate-operand IV2 serving
@@ -618,8 +646,9 @@ def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
     ki = pl.program_id(2)
     _kv_attend_accumulate_i8(q_ref[0], k_ref[0], v_ref[0], sc_ref, g,
                              acc_ref, ki, scale=scale, head_dim=head_dim,
-                             mask_valid=mask_valid)
+                             mask_valid=mask_valid, real_dim=real_dim)
     D = head_dim
+    De = real_dim if real_dim is not None else D
     hpg = q_ref.shape[-1] // D
     if mask_valid is not None:
         n_pad = 0
@@ -628,8 +657,10 @@ def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
     def _finalize():
         for h in range(hpg):
             acc = acc_ref[h]
-            denom = acc[D:D + 1] - n_pad if n_pad else acc[D:D + 1]
-            res = (acc[:D] / denom).T
+            denom = acc[De:De + 1] - n_pad if n_pad else acc[De:De + 1]
+            res = (acc[:De] / denom).T
+            if De != D:
+                res = jnp.pad(res, ((0, 0), (0, D - De)))
             if int8_out:
                 o_ref[0, :, h * D:(h + 1) * D] = jnp.clip(
                     jnp.round(res * sc_ref[3, g * hpg + h]),
@@ -638,7 +669,8 @@ def _fwd_kernel_nomax_packed_kv_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref,
                 o_ref[0, :, h * D:(h + 1) * D] = res.astype(o_ref.dtype)
 
 
-def _kv_grid_call(q, k, v, plan, *, num_heads, scale, n_valid, inv=None):
+def _kv_grid_call(q, k, v, plan, *, num_heads, scale, n_valid, inv=None,
+                  real_dim=None):
     """Shared pallas_call plumbing for the key-grid kernels.  q/k/v are
     separate packed (B, N, C) operands already padded to the plan's
     (Np_q, Np_k); returns (B, Np_q, C) in int8 (inv given) or q.dtype."""
@@ -646,9 +678,9 @@ def _kv_grid_call(q, k, v, plan, *, num_heads, scale, n_valid, inv=None):
     D = C // num_heads
     _, Np_k, bk, n_kv = plan
     G = _LANE_GROUP
-    rows = _ceil_to(D + 1, 8)
+    rows = _ceil_to((real_dim or D) + 1, 8)
     kw = dict(scale=float(scale), n_pad=Np_k - n_valid, head_dim=D,
-              n_kv=n_kv)
+              n_kv=n_kv, real_dim=real_dim)
     specs = [
         pl.BlockSpec((1, Np_q, G), lambda b, g, ki: (b, 0, g)),
         pl.BlockSpec((1, bk, G), lambda b, g, ki: (b, ki, g)),
@@ -1116,7 +1148,7 @@ def flash_attention_qkv_int8(qkv_i8, amax, *, num_heads: int, scale: float,
 
 def _fwd_kernel_nomax_packed_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref, *,
                                   scale, n_valid, head_dim, int8_out,
-                                  mask_keys=False):
+                                  mask_keys=False, real_dim=None):
     """int8-STORAGE attention (round 4): int8 qkv IN, float COMPUTE,
     optionally int8 OUT.
 
@@ -1149,7 +1181,8 @@ def _fwd_kernel_nomax_packed_q8io(sc_ref, q_ref, k_ref, v_ref, o_ref, *,
         vf = (v[:, sl].astype(jnp.float32) * sv).astype(jnp.bfloat16)
         res = _attend_rows_t(q[:, sl], k[:, sl], vf, scale=scale,
                              n_valid=n_valid, out_dtype=jnp.float32,
-                             qk_scale_i8=sq * sk, mask_keys=mask_keys)
+                             qk_scale_i8=sq * sk, mask_keys=mask_keys,
+                             real_dim=real_dim)
         if int8_out:
             o_ref[0, :, sl] = jnp.clip(jnp.round(res * sc_ref[3, head]),
                                        -127, 127).astype(jnp.int8)
@@ -1245,6 +1278,13 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
     mask_valid = n_valid if (n_valid is not None and n_valid < N) else None
     dp = _i8_head_pad(D)
     assert dp, f"head dim {D} > 128 unsupported by the packed layouts"
+    # valid head dim under the lane pad: PV streams Dh on the M axis, so
+    # padded dims are real MXU rows there (QK's lane-pad is free) — slice
+    # the transposed v to the 8-aligned valid rows (IV2-1B: 96-row PV
+    # tiles instead of 136, exact; see _attend_rows_t real_dim)
+    real_dim = D if (dp != D and D % 8 == 0
+                     and not os.environ.get("SIMPLE_TAD_NO_REAL_DH")) \
+        else None
     if dp - D:
         cfg = ((0, 0), (0, 0), (0, 0), (0, dp - D))
         q_i8 = jnp.pad(q_i8, cfg)
@@ -1276,12 +1316,12 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
         if Np_k - N:
             zpad = ((0, 0), (0, Np_k - N), (0, 0))
             k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
-        rows = _ceil_to(dp + 1, 8)
+        rows = _ceil_to((real_dim or dp) + 1, 8)
         out = pl.pallas_call(
             functools.partial(
                 _fwd_kernel_nomax_packed_kv_q8io, scale=float(scale),
                 n_pad=Np_k - N, head_dim=dp, n_kv=n_kv, int8_out=int8_out,
-                mask_valid=mask_valid),
+                mask_valid=mask_valid, real_dim=real_dim),
             grid=(B, C // G, n_kv),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1311,7 +1351,7 @@ def flash_attention_i8d(q_i8, k_i8, v_i8, amax, *, num_heads: int,
                 _fwd_kernel_nomax_packed_q8io, scale=float(scale),
                 n_valid=N if mask_valid is None else mask_valid,
                 head_dim=dp, int8_out=int8_out,
-                mask_keys=mask_valid is not None),
+                mask_keys=mask_valid is not None, real_dim=real_dim),
             grid=(B, C // G, Np_q // bq),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -615,3 +615,31 @@ def test_i8_storage_masked_garbage_rows(kv_force, monkeypatch):
             jnp.asarray(amax.astype(np.float32)), num_heads=H,
             scale=scale), np.float32)
     np.testing.assert_allclose(masked[:, :nv], ref, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("kv_force", [None, "3"])
+def test_i8_real_dim_matches_lane_padded(kv_force, monkeypatch):
+    """real_dim PV slicing (IV2-1B: Dh=88 stored in 128 lanes) is BIT-
+    identical to the full lane-padded compute: the skipped v^T rows are
+    exact-zero padded columns, so every surviving dot product and the
+    ones-row denominator see the same operands in the same order."""
+    from simple_tad_tpu.ops.flash_attention import flash_attention_i8d
+    if kv_force is not None:
+        monkeypatch.setenv("SIMPLE_TAD_ATTN_KV_GRID", kv_force)
+    rng = np.random.default_rng(17)
+    B, N, H, D = 1, 200, 2, 88
+    scale = D ** -0.5
+    qkv = rng.normal(0.0, 1.0, (3, B, N, H, D)).astype(np.float32)
+    amax = np.abs(qkv).max(axis=(1, 2, 4))
+    inv = (127.0 / amax).reshape(3, 1, 1, H, 1)
+    qkv_i8 = np.clip(np.round(qkv * inv), -127, 127).astype(np.int8)
+    args = tuple(jnp.asarray(t) for t in qkv_i8) + (
+        jnp.asarray(amax.astype(np.float32)),)
+
+    with pltpu.force_tpu_interpret_mode():
+        slim = np.asarray(flash_attention_i8d(*args, num_heads=H,
+                                              scale=scale), np.float32)
+        monkeypatch.setenv("SIMPLE_TAD_NO_REAL_DH", "1")
+        full = np.asarray(flash_attention_i8d(*args, num_heads=H,
+                                              scale=scale), np.float32)
+    np.testing.assert_array_equal(slim, full)
