@@ -37,22 +37,74 @@ Dtype = Any
 
 
 class RMSNorm(nn.Module):
-    """fp32-statistics RMSNorm (internvideo2.py:119-131)."""
+    """fp32-statistics RMSNorm (internvideo2.py:119-131).
+
+    quant_inv: (C,) fp32 per-channel 127/amax — when given (static-quant
+    serving), the norm EMITS int8 through the single-read fused kernel
+    (ops/ln.py fused_rmsnorm_quant) instead of returning bf16 for a
+    separate quantize pass.  Used by IV2Attention's qk-normalization,
+    whose per-head scales feed the int8-storage attention kernel."""
     dim: int
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, quant_inv=None):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         x32 = x.astype(jnp.float32)
         if os.environ.get("SIMPLE_TAD_ABLATE_LN"):
             # measurement knob (scripts/iv2_breakdown.py): statistics
             # removed, affine kept — same semantics as layers.py LN knob
-            return (scale.astype(jnp.float32) * x32).astype(self.dtype)
+            y = scale.astype(jnp.float32) * x32
+            if quant_inv is not None:
+                return jnp.clip(jnp.round(y * quant_inv),
+                                -127, 127).astype(jnp.int8)
+            return y.astype(self.dtype)
+        if quant_inv is not None:
+            from simple_tad_tpu.ops.ln import fused_rmsnorm_quant
+            return fused_rmsnorm_quant(x, scale, quant_inv, eps=self.eps)
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
         y = x32 * jax.lax.rsqrt(var + self.eps)
         return (scale.astype(jnp.float32) * y).astype(self.dtype)
+
+
+class RMSNormQuant(nn.Module):
+    """RMSNorm that EMITS the consumer GEMM's int8 activation — the IV2
+    analogue of layers.LayerNormQuant.  MEASURED LOSS on v5e, OPT-IN via
+    SIMPLE_TAD_FUSED_RMSQ (see ops.ln.supports_fused_rmsq for the A/B
+    record: the IV2 norms' quantize already fuses XLA-side, so the kernel
+    only trades a reduce read for 4 extra Pallas launches per layer).
+    Param structure = RMSNorm + act_amax, so fp checkpoints load
+    unchanged; calib mode runs the reference RMS math and sows the
+    output absmax after the dtype cast (bit-matching what the downstream
+    QuantDense's own calibration observes, so both scales are equal)."""
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+    mode: str = "static"     # static | calib
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        if self.mode == "static":
+            amax = self.param("act_amax", nn.initializers.ones, ())
+            if not os.environ.get("SIMPLE_TAD_ABLATE_LN"):
+                from simple_tad_tpu.ops.ln import fused_rmsnorm_quant
+                inv = (127.0 / jnp.maximum(amax, 1e-12)
+                       ) * jnp.ones((self.dim,), jnp.float32)
+                return fused_rmsnorm_quant(x, scale, inv, eps=self.eps)
+            # ablated statistics (measurement knob): bf16 out, consumer
+            # GEMM quantizes XLA-side against its own act_amax
+            return (scale.astype(jnp.float32)
+                    * x.astype(jnp.float32)).astype(self.dtype)
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        y = (scale.astype(jnp.float32) * y).astype(self.dtype)
+        self.sow("calib", "amax",
+                 jnp.max(jnp.abs(y.astype(jnp.float32))),
+                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.zeros(()))
+        return y
 
 
 class LayerNormEps(nn.Module):
@@ -98,13 +150,30 @@ class IV2Attention(nn.Module):
                            bias_init=nn.initializers.zeros, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, C)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, C)
+        from simple_tad_tpu.ops.attention import i8_storage_attn_sep_supported
+        from simple_tad_tpu.ops.ln import supports_fused_rmsq
+        use_i8d = (self.quant and self.quant_mode == "static"
+                   and self.attn_impl == "auto" and deterministic
+                   and i8_storage_attn_sep_supported(N, self.num_heads,
+                                                     head_dim))
+        inv3h = None
+        if use_i8d:
+            amax3h = self.param("qkv_amax", nn.initializers.ones,
+                                (3, self.num_heads))
+            inv3h = 127.0 / jnp.maximum(amax3h, 1e-12)
         if self.qk_normalization:
             # measurement knob (scripts/iv2_breakdown.py): the full-vs-
             # ablated delta prices the two per-layer (B,N,C) LayerNorm
             # passes; params still exist so checkpoints stay loadable.
             if not os.environ.get("SIMPLE_TAD_ABLATE_QKNORM"):
-                q = RMSNorm(C, dtype=self.dtype, name="q_norm")(q)
-                k = RMSNorm(C, dtype=self.dtype, name="k_norm")(k)
+                # static i8d serving: the per-head quantize fuses INTO the
+                # RMSNorm kernel (single read, int8 out) instead of a
+                # separate pass over the normalized bf16 (ops/ln.py)
+                fuse_q = use_i8d and supports_fused_rmsq(C)
+                qi = (jnp.repeat(inv3h[0], head_dim) if fuse_q else None)
+                ki = (jnp.repeat(inv3h[1], head_dim) if fuse_q else None)
+                q = RMSNorm(C, dtype=self.dtype, name="q_norm")(q, qi)
+                k = RMSNorm(C, dtype=self.dtype, name="k_norm")(k, ki)
         q = q.reshape(B, N, self.num_heads, head_dim)
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
@@ -129,22 +198,17 @@ class IV2Attention(nn.Module):
             # fuse across the Pallas boundary disappears and the
             # attention output's HBM traffic halves.
             out_amax = self.param("out_amax", nn.initializers.ones, ())
-        from simple_tad_tpu.ops.attention import i8_storage_attn_sep_supported
-        if (self.quant and self.quant_mode == "static"
-                and self.attn_impl == "auto" and deterministic
-                and i8_storage_attn_sep_supported(N, self.num_heads,
-                                                  head_dim)):
+        if use_i8d:
             # int8 STORAGE attention (round 4): q/k quantize against the
-            # calibrated per-head scales in the RMSNorm fusion's epilogue
+            # calibrated per-head scales in the RMSNorm kernel's epilogue
             # (v in the GEMM's), the kernel contracts QK as exact
             # s8xs8->s32 with the scales folded into the logit scale and
             # dequantizes v once in VMEM — bf16 q/k/v never cross HBM.
             from simple_tad_tpu.ops.flash_attention import flash_attention_i8d
-            amax3h = self.param("qkv_amax", nn.initializers.ones,
-                                (3, self.num_heads))
-            inv3h = 127.0 / jnp.maximum(amax3h, 1e-12)
 
             def q8(t, row):
+                if t.dtype == jnp.int8:   # fused RMSNorm already emitted it
+                    return t
                 invs = inv3h[row].reshape(1, 1, self.num_heads, 1)
                 return jnp.clip(jnp.round(t.astype(jnp.float32) * invs),
                                 -127, 127).astype(jnp.int8)
@@ -196,7 +260,20 @@ class IV2Block(nn.Module):
     def __call__(self, x, drop_path_rate=0.0, deterministic: bool = True,
                  n_valid=None):
         from simple_tad_tpu.models.layers import QuantDense
+        from simple_tad_tpu.ops.ln import supports_fused_rmsq
         use_dp = not deterministic
+        rq = (self.quant and self.quant_mode in ("static", "calib")
+              and supports_fused_rmsq(self.dim))
+
+        def norm(name):
+            # static-quant serving: norm1/norm2 EMIT the consumer GEMM's
+            # int8 in one single-read kernel (the LayerNormQuant win of
+            # the ViT trunk, docs/ROOFLINE.md) — QuantDense dequantizes
+            # against its own identically-calibrated act_amax
+            if rq:
+                return RMSNormQuant(self.dim, dtype=self.dtype,
+                                    mode=self.quant_mode, name=name)
+            return RMSNorm(self.dim, dtype=self.dtype, name=name)
 
         def ls(name, h):
             gamma = self.param(name, nn.initializers.constant(
@@ -208,8 +285,7 @@ class IV2Block(nn.Module):
                          self.qk_normalization, self.attn_impl,
                          self.quant, self.quant_mode, self.dtype,
                          name="attn")(
-            RMSNorm(self.dim, dtype=self.dtype, name="norm1")(x),
-            deterministic, n_valid)
+            norm("norm1")(x), deterministic, n_valid)
         h = ls("gamma_1", h)
         if use_dp:
             h = drop_path(h, drop_path_rate, deterministic,
@@ -217,7 +293,7 @@ class IV2Block(nn.Module):
         x = x + h
 
         hid = int(self.dim * self.mlp_ratio)
-        h = RMSNorm(self.dim, dtype=self.dtype, name="norm2")(x)
+        h = norm("norm2")(x)
         if os.environ.get("SIMPLE_TAD_ABLATE_MLP"):
             pass   # measurement knob: fc1+GELU+fc2 removed (layers.py Mlp)
         elif self.quant:
@@ -227,7 +303,7 @@ class IV2Block(nn.Module):
                              out_dtype=self.dtype, name="fc2")
             from simple_tad_tpu.ops.int8_gemm import use_fused_mlp, w8a8_mlp
             if (self.quant_mode == "static"
-                    and use_fused_mlp(self.dim, hid)):
+                    and h.dtype != jnp.int8 and use_fused_mlp(self.dim, hid)):
                 k1, s1, a1, b1 = fc1(None, params_only=True)
                 k2, s2, a2, b2 = fc2(None, params_only=True)
                 h = w8a8_mlp(h, k1, s1, a1, b1, k2, s2, a2, b2,

@@ -88,6 +88,82 @@ def fused_layernorm_quant(x, scale, bias, amax, *, eps: float = 1e-6):
     return out.reshape(orig_shape[:-1] + (C,))
 
 
+def _rms_quant_kernel(x_ref, s_ref, inv_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(var + eps)
+    y = y * s_ref[...].astype(jnp.float32)
+    o_ref[...] = jnp.clip(jnp.round(y * inv_ref[...].astype(jnp.float32)),
+                          -127, 127).astype(jnp.int8)
+
+
+def fused_rmsnorm_quant(x, scale, inv_c, *, eps: float = 1e-6):
+    """RMSNorm (fp32 statistics, no mean subtraction) + static int8
+    quantize in ONE single-read kernel -> int8 (..., C).
+
+    The InternVideo2 analogue of fused_layernorm_quant: the reference
+    trunk RMS-normalizes norm1/norm2 AND the sliced q/k (qk_normalization,
+    reference internvideo2.py:119-219), each an XLA reduce+elementwise
+    pair that reads the activation twice.  OPT-IN (measured loss on v5e —
+    see supports_fused_rmsq).  ``inv_c`` is a (C,) fp32
+    per-CHANNEL 127/amax vector — a broadcast scalar for the per-tensor
+    GEMM-input sites (norm1 -> qkv, norm2 -> fc1), a per-head repeat for
+    the q/k sites feeding the int8-storage attention kernel's per-head
+    scales (ops/flash_attention.flash_attention_i8d).  Quantizing the
+    fp32 normalized value directly (the unfused path rounds through the
+    model dtype first) only tightens the PTQ error; drift stays gated by
+    tests/test_quant.py."""
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, C)
+    pad = (-rows) % 8
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    rp = rows + pad
+    br = _pick_rows(rp)
+    out = pl.pallas_call(
+        functools.partial(_rms_quant_kernel, eps=eps),
+        grid=(rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, C), jnp.int8),
+    )(x2, scale.reshape(1, C), inv_c.reshape(1, C).astype(jnp.float32))
+    if pad:
+        out = out[:rows]
+    return out.reshape(orig_shape[:-1] + (C,))
+
+
+def supports_fused_rmsq(C: int) -> bool:
+    """Gate for the RMSNorm->int8 fused output (IV2 static-quant serving).
+
+    MEASURED LOSS ON v5e — OPT-IN ONLY.  Whole-model A/B, same session,
+    fresh buffers (2026-08-19): IV2-B b48 201.3-201.8 ms fused vs 191.4
+    unfused; IV2-1B b16 565.3 vs 545.4.  Unlike the ViT trunk's
+    LayerNormQuant (a clear win at C=768), the IV2 block already feeds
+    every norm output into a static-quant consumer whose round/clip XLA
+    fuses into the norm's own elementwise pass — so the fused kernel only
+    saves the reduce read, while costing 4 extra Pallas launches per
+    layer (norm1, norm2, q-norm, k-norm) that break XLA's inter-op
+    scheduling overlap.  SIMPLE_TAD_FUSED_RMSQ=1 re-enables on TPU,
+    =force anywhere (interpret-mode tests)."""
+    import os
+    flag = os.environ.get("SIMPLE_TAD_FUSED_RMSQ", "")
+    if os.environ.get("SIMPLE_TAD_NO_FUSED_RMSQ"):
+        return False
+    if C % 128 != 0:
+        return False
+    if flag == "force":
+        return True
+    return bool(flag) and jax.default_backend() == "tpu"
+
+
 def supports_fused_ln_quant(C: int) -> bool:
     """Gate for the LN->int8 fused output (static-quant serving only).
     SIMPLE_TAD_NO_FUSED_LNQ=1 disables; 'force' enables off-TPU for

@@ -385,3 +385,48 @@ def test_iv2_static_quant_i8_storage_attention_drift(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got_np = np.asarray(qmodel.apply({"params": qparams}, x))
     np.testing.assert_allclose(got, got_np, atol=1e-5, rtol=1e-5)
+
+
+def test_iv2_static_quant_fused_rmsnorm_quant(monkeypatch):
+    """Fused RMSNorm->int8 serving path (norm1/norm2 emit the consumer
+    GEMM's int8; q/k-norm emits the attention kernel's per-head int8 in
+    the same single-read kernel): calibration lands act_amax in the norm
+    scopes, logits track bf16, and the fused path stays within one
+    quantization step of the unfused int8 program (the only difference
+    is fp32-vs-bf16 rounding ahead of the quantize)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simple_tad_tpu.models.internvideo2 import IV2Config, InternVideo2
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    cfg = IV2Config(img_size=28, patch_size=14, embed_dim=128, depth=2,
+                    num_heads=2, mlp_ratio=4.0, num_frames=4,
+                    attn_pool_num_heads=2, clip_embed_dim=32,
+                    drop_path_rate=0.0, init_scale=1.0, attn_impl="auto")
+    fp = InternVideo2(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 28, 28, 3))
+    params = fp.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree.map(lambda a: a * 3.0 if a.ndim >= 2 else a, params)
+    want = np.asarray(fp.apply({"params": params}, x))
+
+    monkeypatch.setenv("SIMPLE_TAD_FORCE_QKV_I8", "1")
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_RMSQ", "force")
+    with pltpu.force_tpu_interpret_mode():
+        qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+        assert "act_amax" in qparams["blocks"]["norm1"], \
+            "RMSNorm calibration must land in the norm scope"
+        assert "act_amax" in qparams["blocks"]["norm2"]
+        got = np.asarray(qmodel.apply({"params": qparams}, x))
+    scale = np.abs(want).max()
+    assert scale > 1e-3
+    assert np.abs(got - want).max() < max(0.1 * scale, 0.06), \
+        (np.abs(got - want).max(), scale)
+
+    # fused vs unfused int8 program: same calibrated params must produce
+    # near-identical logits (rounding site differs by one bf16 cast)
+    monkeypatch.setenv("SIMPLE_TAD_NO_FUSED_RMSQ", "1")
+    with pltpu.force_tpu_interpret_mode():
+        qmodel2, qparams2 = quantize_and_calibrate(fp, params, [x])
+        got_uf = np.asarray(qmodel2.apply({"params": qparams2}, x))
+    assert np.abs(got - got_uf).max() < 0.05 * scale + 0.02, \
+        np.abs(got - got_uf).max()
