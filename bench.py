@@ -33,15 +33,19 @@ VIT_B_MIXED_ROOFLINE_WPS = 871.0
 
 
 def _time_batched(fn, p, bufs, idx, reps=3, per_rep=8):
-    """Pipelined dispatch-then-block over DISTINCT buffers (the serving
-    relay memoizes repeated identical executions)."""
-    fn(p, bufs[-1], idx).block_until_ready()   # compile + warm
+    """Pipelined dispatch-then-fetch over DISTINCT buffers (the serving
+    relay memoizes repeated identical executions).  Sync discipline is
+    CLAUDE.md trap #8: block_until_ready returns EARLY while a compile is
+    in flight through the relay, so warm-up and every timing chunk end in
+    a result FETCH — in-order execution makes the one fetch of the chunk's
+    last output prove the whole chunk ran."""
+    np.asarray(fn(p, bufs[-1], idx))           # compile + warm via FETCH
     best = 1e9
     for rep in range(reps):
         chunk = bufs[rep * per_rep:(rep + 1) * per_rep]
         t0 = time.perf_counter()
         outs = [fn(p, b, idx) for b in chunk]
-        jax.block_until_ready(outs)
+        np.asarray(outs[-1])
         best = min(best, (time.perf_counter() - t0) / len(chunk))
     return best
 
@@ -105,13 +109,13 @@ def bench_model(name, batches, quant, rng, stream_latency=False):
         # streaming protocol: one window scored per arriving frame
         # (reference run_inference.py:85-109); single-sample latency
         idx1 = _win_idx(1)
-        score(params, bufs[-1], idx1).block_until_ready()
+        np.asarray(score(params, bufs[-1], idx1))   # warm via FETCH (trap #8)
         times = []
         for rep in range(reps):
             t0 = time.perf_counter()
             sink = [score(params, bufs[rep * per_rep + i], idx1)
                     for i in range(per_rep)]
-            jax.block_until_ready(sink)
+            np.asarray(sink[-1])
             times.append((time.perf_counter() - t0) / per_rep)
         out["stream_batch1_ms"] = round(min(times) * 1e3, 2)
     return out
@@ -155,22 +159,39 @@ def bench_iv2(batch, rng, model_name="internvideo2_base_patch14_224"):
     return round(batch / dt, 1)
 
 
-def bench_train_step(batch=24, rng=None):
-    """ViT-B batch-24 finetune train step (remat, drop_path 0.1, adamw +
-    layer decay + clip — the TRAIN.md recipe), clips/s.  VERDICT r3 weak
-    #2: no training throughput was driver-captured.  Reference behavioral
-    baseline: the AMP train loop of engine_for_frame_finetuning.py:136-189.
-    """
+def _time_steps(step, state, batches, reps=8, warmup=2):
+    """Warm-up + timed loop, both ending in a scalar result FETCH
+    (state.step) — trap #8: one tiny fetch of the last dispatched step's
+    output synchronizes the whole in-order chunk."""
     import time as _t
+    for i in range(warmup):
+        state, _ = step(state, batches[i % len(batches)])
+    np.asarray(state.step)
+    t0 = _t.perf_counter()
+    for i in range(reps):
+        state, _ = step(state, batches[i % len(batches)])
+    np.asarray(state.step)
+    return (_t.perf_counter() - t0) / reps
 
+
+def bench_train_step(batch=24, rng=None, model_name="vit_base_patch16_224",
+                     num_frames=16):
+    """Finetune train step (remat, drop_path 0.1, adamw + layer decay +
+    clip — the TRAIN.md recipe), clips/s.  VERDICT r3 weak #2 asked ViT-B;
+    r4 #8 asked S and L; r4 #5 asks the IV2-B trunk (8-frame, N=785+CLS).
+    Reference behavioral baseline: the AMP train loops of
+    engine_for_frame_finetuning.py:136-189 /
+    iv2_engine_for_frame_finetuning.py."""
     import simple_tad_tpu as st
     from simple_tad_tpu.train import losses as L
     from simple_tad_tpu.train import optim as O
     from simple_tad_tpu.train.steps import TrainState, make_finetune_train_step
 
-    model = st.create_model("vit_base_patch16_224", num_classes=2,
+    model = st.create_model(model_name, num_classes=2,
                             dtype=jnp.bfloat16, attn_impl="auto",
-                            remat=True, drop_path_rate=0.1)
+                            remat=True, drop_path_rate=0.1,
+                            **({"all_frames": num_frames}
+                               if num_frames != 16 else {}))
     params = model.init_params(jax.random.PRNGKey(0))
     sched = O.cosine_scheduler(1e-3, 1e-6, epochs=20, niter_per_ep=100,
                                warmup_epochs=5)
@@ -185,21 +206,56 @@ def bench_train_step(batch=24, rng=None):
     for _ in range(4):
         batches.append({
             "video": jnp.asarray(rng.normal(
-                size=(batch, 16, 224, 224, 3)).astype(np.float32) * 0.5,
-                dtype=jnp.bfloat16),
+                size=(batch, num_frames, 224, 224, 3)).astype(np.float32)
+                * 0.5, dtype=jnp.bfloat16),
             "label": jnp.asarray(rng.integers(0, 2, batch)),
             "smoothed": jnp.asarray(rng.random((batch, 2), np.float32)),
             "ttc": jnp.asarray(rng.random(batch, np.float32)),
         })
-    for i in range(2):
-        state, _ = step(state, batches[i % 4])
-    jax.block_until_ready(state.params)
-    t0 = _t.perf_counter()
-    reps = 8
-    for i in range(reps):
-        state, _ = step(state, batches[i % 4])
-    jax.block_until_ready(state.params)
-    dt = (_t.perf_counter() - t0) / reps
+    dt = _time_steps(step, state, batches)
+    return round(batch / dt, 1), round(dt * 1e3, 1)
+
+
+def bench_mae_step(batch=48, rng=None, mask_ratio=0.75):
+    """DAPT/MAE-B pretrain step (the jobs/dapt/pretrain_capdata.sh recipe
+    shape: MAE-B, 16 frames, tube mask 0.75 -> 392 visible encoder tokens,
+    1568-token decoder), clips/s.  VERDICT r4 #2: the paper's core
+    workload had no measured training throughput.  Reference:
+    engine_for_pretraining.py:155-221."""
+    import simple_tad_tpu as st
+    from simple_tad_tpu.train import optim as O
+    from simple_tad_tpu.train.steps import TrainState, make_mae_train_step
+
+    model = st.create_model("pretrain_videomae_base_patch16_224",
+                            dtype=jnp.bfloat16, attn_impl="auto",
+                            remat=True)
+    n_tok = model.cfg.num_patches
+    num_masked = int(mask_ratio * n_tok)
+    dummy_mask = np.zeros((1, n_tok), bool)
+    dummy_mask[:, :num_masked] = True
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 224, 224, 3), jnp.bfloat16),
+                        jnp.asarray(dummy_mask), num_masked)["params"]
+    sched = O.cosine_scheduler(3e-4, 3e-5, epochs=12, niter_per_ep=100,
+                               warmup_epochs=1)
+    tx = O.create_optimizer(params, lr_schedule=O.array_schedule(sched),
+                            weight_decay=0.05, betas=(0.9, 0.95),
+                            clip_grad=0.0)
+    step = make_mae_train_step(model, tx, num_masked=num_masked)
+    state = jax.device_put(TrainState.create(params, tx,
+                                             jax.random.PRNGKey(1)))
+    batches = []
+    for _ in range(4):
+        masks = np.zeros((batch, n_tok), bool)
+        for r in range(batch):
+            masks[r, rng.permutation(n_tok)[:num_masked]] = True
+        batches.append({
+            "video": jnp.asarray(rng.normal(
+                size=(batch, 16, 224, 224, 3)).astype(np.float32) * 0.5,
+                dtype=jnp.bfloat16),
+            "mask": jnp.asarray(masks),
+        })
+    dt = _time_steps(step, state, batches)
     return round(batch / dt, 1), round(dt * 1e3, 1)
 
 
@@ -211,7 +267,11 @@ def main():
     vitb_int8 = bench_model("vit_base_patch16_224", (48, 96, 192), True,
                             rng, stream_latency=True)
     vitb_bf16 = bench_model("vit_base_patch16_224", (96,), False, rng)
-    small = {}
+    # same-session drift anchor (VERDICT r4 weak #5): cross-session drift
+    # at large program sizes is 10-15%, so IV2 rows are reported alongside
+    # their ratio to this fixed bf16 config measured in the SAME session
+    anchor = vitb_bf16["96"]
+    small = {"anchor_vitb_bf16_b96": anchor}
     if not os.environ.get("SIMPLE_TAD_BENCH_FAST"):
         small["vit_s_int8_b96"] = bench_model(
             "vit_small_patch16_224", (96,), True, rng)["96"]
@@ -222,9 +282,23 @@ def main():
         small["iv2_b_int8_clips_per_sec_b48"] = bench_iv2(48, rng)
         small["iv2_1b_int8_clips_per_sec_b16"] = bench_iv2(
             16, rng, "internvideo2_1B_patch14_224")
-        tr_cps, tr_ms = bench_train_step(24, rng)
-        small["train_vitb_b24_clips_per_sec"] = tr_cps
-        small["train_vitb_b24_step_ms"] = tr_ms
+        small["iv2_b_per_anchor"] = round(
+            small["iv2_b_int8_clips_per_sec_b48"] / anchor, 4)
+        small["iv2_1b_per_anchor"] = round(
+            small["iv2_1b_int8_clips_per_sec_b16"] / anchor, 4)
+        for nm, bsz, key in (("vit_base_patch16_224", 24, "vitb_b24"),
+                             ("vit_small_patch16_224", 24, "vits_b24"),
+                             ("vit_large_patch16_224", 12, "vitl_b12")):
+            tr_cps, tr_ms = bench_train_step(bsz, rng, nm)
+            small[f"train_{key}_clips_per_sec"] = tr_cps
+            small[f"train_{key}_step_ms"] = tr_ms
+        mae_cps, mae_ms = bench_mae_step(48, rng)
+        small["mae_b48_clips_per_sec"] = mae_cps
+        small["mae_b_step_ms"] = mae_ms
+        iv2tr_cps, iv2tr_ms = bench_train_step(
+            8, rng, "internvideo2_base_patch14_224", num_frames=8)
+        small["train_iv2b_b8_clips_per_sec"] = iv2tr_cps
+        small["train_iv2b_b8_step_ms"] = iv2tr_ms
 
     sweep = {k: v for k, v in vitb_int8.items() if k.isdigit()}
     best_batch, best = max(sweep.items(), key=lambda kv: kv[1])

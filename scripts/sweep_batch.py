@@ -8,14 +8,19 @@ so a winner can be adopted into bench.py honestly.
 Usage: python scripts/sweep_batch.py vit_small_patch16_224 96 144 192
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: python scripts/sweep_batch.py <model_name> "
+              "<batch> [<batch> ...]")
+        sys.exit(2)
     from simple_tad_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     import bench

@@ -111,7 +111,8 @@ def main(argv=None):
                         cfg.clips_list)
     loader1 = PretrainLoader(ds1, cfg.batch_size * n_dev,
                              window_size=window_size,
-                             mask_ratio=cfg.mask_ratio, seed=cfg.seed,
+                             mask_ratio=cfg.mask_ratio,
+                             mask_type=cfg.mask_type, seed=cfg.seed,
                              nb_samples_per_epoch=cfg.nb_samples_per_epoch,
                              num_threads=cfg.num_workers)
     loader2 = loader3 = None
@@ -121,6 +122,7 @@ def main(argv=None):
         loader2 = PretrainLoader(
             ds2, (cfg.batch_size2 or cfg.batch_size) * n_dev,
             window_size=window_size, mask_ratio=cfg.mask_ratio,
+            mask_type=cfg.mask_type,
             seed=cfg.seed + 1,
             nb_samples_per_epoch=cfg.nb_samples_per_epoch,
             num_threads=cfg.num_workers)
@@ -132,6 +134,7 @@ def main(argv=None):
         loader3 = PretrainLoader(
             ds3, (cfg.batch_size3 or cfg.batch_size) * n_dev,
             window_size=window_size, mask_ratio=cfg.mask_ratio,
+            mask_type=cfg.mask_type,
             seed=cfg.seed + 7,
             nb_samples_per_epoch=cfg.nb_samples_per_epoch,
             num_threads=cfg.num_workers)

@@ -275,10 +275,12 @@ class PretrainLoader:
     def __init__(self, dataset: PretrainWindowDataset, batch_size: int, *,
                  window_size, mask_ratio: float, seed: int = 0,
                  nb_samples_per_epoch: int = 0, num_threads: int = 4,
-                 prefetch: int = 4):
+                 prefetch: int = 4, mask_type: str = "tube"):
+        from simple_tad_tpu.data.masking import make_mask_generator
         self.dataset = dataset
         self.batch_size = batch_size
-        self.maskgen = TubeMaskingGenerator(window_size, mask_ratio)
+        self.maskgen = make_mask_generator(mask_type, window_size,
+                                           mask_ratio)
         self.seed = seed
         self.cap = nb_samples_per_epoch
         self.num_threads = num_threads

@@ -36,6 +36,36 @@ class TestTubeMasking:
         assert not (mb[0] == mb[1]).all()
 
 
+class TestRandomMasking:
+    """--mask_type random (IV2 datasets/masking_generator.py:28-49):
+    one draw over ALL T*H*W patches, NOT tiled across frames."""
+
+    def test_single_mask_properties(self):
+        from simple_tad_tpu.data.masking import RandomMaskingGenerator
+        gen = RandomMaskingGenerator((8, 14, 14), 0.75)
+        m = gen(np.random.default_rng(0))
+        assert m.shape == (8 * 196,)
+        assert m.sum() == int(0.75 * 8 * 196)
+        # NOT a tube: temporal slots differ (probability of 8 identical
+        # 196-slot rows is astronomically small)
+        per = m.reshape(8, 196)
+        assert not (per == per[0]).all()
+
+    def test_batch_masks_and_dispatch(self):
+        from simple_tad_tpu.data.masking import (RandomMaskingGenerator,
+                                                 make_mask_generator)
+        gen = make_mask_generator("random", (8, 14, 14), 0.9)
+        assert isinstance(gen, RandomMaskingGenerator)
+        mb = gen.batch(16, np.random.default_rng(0))
+        assert mb.shape == (16, 8 * 196)
+        assert (mb.sum(1) == gen.total_masks).all()
+        assert not (mb[0] == mb[1]).all()
+        assert isinstance(make_mask_generator("tube", (8, 14, 14), 0.9),
+                          TubeMaskingGenerator)
+        with pytest.raises(ValueError):
+            make_mask_generator("nope", (8, 14, 14), 0.9)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from simple_tad_tpu.models.vit import ViTConfig, VisionTransformer
     from simple_tad_tpu.train import optim as O

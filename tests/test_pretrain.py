@@ -116,6 +116,25 @@ def test_pretrain_cli_one_epoch(dota_root, tmp_path):
     assert os.path.exists(os.path.join(out, "checkpoint-last"))
 
 
+def test_pretrain_cli_random_mask(dota_root, tmp_path):
+    """--mask_type random (iv2_run_mae_double_pretraining.py:56): per-token
+    masking over the full T*H*W grid instead of tube tiling."""
+    from simple_tad_tpu.cli.pretrain import main
+    out = str(tmp_path / "pre_run_rand")
+    state = main([
+        "--data_set", "DoTA", "--data_path", dota_root,
+        "--model", "pretrain_videomae_small_patch16_224",
+        "--input_size", "32", "--num_frames", "16", "--batch_size", "1",
+        "--epochs", "1", "--warmup_epochs", "0", "--mask_ratio", "0.75",
+        "--mask_type", "random",
+        "--sampling_rate", "4", "--decoder_depth", "2",
+        "--output_dir", out, "--dtype", "float32", "--attn_impl", "naive",
+        "--num_workers", "2",
+    ])
+    assert int(state.step) == 1
+    assert os.path.exists(os.path.join(out, "checkpoint-last"))
+
+
 def test_cyclic_zip():
     from simple_tad_tpu.data.pretrain_datasets import CyclicZip
 
