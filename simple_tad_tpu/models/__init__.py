@@ -101,6 +101,15 @@ def _register_vit():
                 encoder_depth=depth, encoder_num_heads=heads,
                 decoder_embed_dim=ddim, decoder_num_heads=dheads,
                 decoder_num_classes=588, mlp_ratio=4.0))
+    # Stage-2 distillation students: masked IV2 trunk + K tap decoders +
+    # attention-pooled final decoder (internvideo2_distill.py:703-740)
+    for size in ("small", "base", "large"):
+        dim, depth, heads, _ = iv2_sizes[size]
+        _REGISTRY[f"distill_internvideo2_{size}_patch14_224"] = (
+            "iv2_distill", dict(
+                img_size=224, patch_size=14, embed_dim=dim, depth=depth,
+                num_heads=heads, mlp_ratio=4.0, attn_pool_num_heads=16,
+                clip_embed_dim=768))
 
 
 _register_vit()
@@ -141,4 +150,11 @@ def create_model(name: str, **overrides):
         if "all_frames" in kw:
             kw.setdefault("num_frames", kw.pop("all_frames"))
         return InternVideo2(IV2Config(**_fit(IV2Config, kw)))
+    if kind == "iv2_distill":
+        from simple_tad_tpu.models.iv2_distill import (DistillInternVideo2,
+                                                       DistillIV2Config)
+        if "all_frames" in kw:
+            kw.setdefault("num_frames", kw.pop("all_frames"))
+        return DistillInternVideo2(
+            DistillIV2Config(**_fit(DistillIV2Config, kw)))
     raise KeyError(kind)

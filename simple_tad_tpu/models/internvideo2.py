@@ -337,7 +337,11 @@ class AttentionPooling(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_attn: bool = False):
+        """return_attn=True additionally returns the head-mean pooling
+        attention (B, N) of the mean query over all tokens (CrossAttention
+        return_attn, internvideo2_teacher.py:85-88 attn.mean(1)) — the
+        importance signal for the distillation 'attention' mask type."""
         B, N, C = x.shape
         head_dim = C // self.num_heads
         xq = LayerNormEps(C, dtype=self.dtype, name="norm_q")(
@@ -367,9 +371,12 @@ class AttentionPooling(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=self.dtype)
         out = out.reshape(B, 1, C)[:, 0]
-        return nn.Dense(self.out_dim, dtype=self.dtype,
-                        kernel_init=trunc_normal_init(0.02),
-                        name="proj")(out)
+        out = nn.Dense(self.out_dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02),
+                       name="proj")(out)
+        if return_attn:
+            return out, jnp.mean(probs.astype(jnp.float32), axis=1)[:, 0]
+        return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -418,13 +425,23 @@ class InternVideo2(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 tokens_input: bool = False, features_only: bool = False):
+                 tokens_input: bool = False, features_only: bool = False,
+                 return_taps: tuple = ()):
         """x: (B, T, H, W, C) normalized video -> (B, num_classes).
         With tokens_input=True, x is pre-embedded (B, num_patches, D)
         (the evaluator's per-frame token precompute; cls + pos are still
         added here).  features_only=True returns the fc_norm'd
         clip-projector features (B, clip_embed_dim) instead of logits
-        (the distillation / linear-probe feature surface)."""
+        (the distillation / linear-probe feature surface).
+
+        return_taps: static tuple of block indices — the stage-2
+        DISTILLATION TEACHER surface (teacher_internvideo2_stage2_*,
+        internvideo2_teacher.py:523-588): returns
+        (z, final, attn) = (l2-normalized raw block outputs at those
+        indices (K, B, N+1, C), the l2-normalized clip-projector feature
+        (B, clip_embed_dim) WITHOUT fc_norm, and the head-mean pooling
+        attention over non-CLS tokens (B, N) for the 'attention' mask
+        type)."""
         cfg = self.cfg
         B = x.shape[0]
         nt, nh, nw = cfg.grid_size
@@ -505,7 +522,7 @@ class InternVideo2(nn.Module):
         n_valid = None
         n_tok = tokens.shape[1]
         if (cfg.quant and cfg.quant_mode == "static" and deterministic
-                and cfg.attn_impl == "auto"):
+                and cfg.attn_impl == "auto" and not return_taps):
             from simple_tad_tpu.ops.attention import (
                 attn_seq_pad, i8_storage_attn_sep_supported)
             head_dim = cfg.embed_dim // cfg.num_heads
@@ -524,18 +541,29 @@ class InternVideo2(nn.Module):
                          name="blocks")
 
         def body(blk, carry, rate):
-            return blk(carry, rate, deterministic, n_valid), None
+            y = blk(carry, rate, deterministic, n_valid)
+            # taps: emit every layer's output as a scan ys; the K selected
+            # indices are gathered below (teacher runs grad-free, so the
+            # (depth, B, N, C) stack is transient HBM, not saved residuals)
+            return y, (y if return_taps else None)
 
         if cfg.remat:
             from simple_tad_tpu.models.layers import remat_policy
             body = nn.remat(body, prevent_cse=False, policy=remat_policy())
+        taps = None
         if cfg.scan_blocks:
             scan = nn.scan(body, variable_axes={"params": 0, "calib": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},
                            in_axes=0, length=cfg.depth)
-            tokens, _ = scan(block, tokens, dpr)
+            tokens, ys = scan(block, tokens, dpr)
+            if return_taps:
+                # ascending layer order — the reference appends taps in
+                # block order regardless of return_index order
+                # (internvideo2_teacher.py:558-565)
+                taps = ys[np.sort(np.asarray(return_taps))]
         else:
+            ys = []
             for i in range(cfg.depth):
                 tokens = IV2Block(
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
@@ -543,6 +571,24 @@ class InternVideo2(nn.Module):
                     cfg.attn_impl, cfg.quant, cfg.quant_mode, cfg.dtype,
                     name=f"blocks_{i}")(tokens, dpr[i], deterministic,
                                         n_valid)
+                if i in return_taps:
+                    ys.append(tokens)   # loop order == ascending layers
+            if return_taps:
+                taps = jnp.stack(ys)
+
+        if return_taps:
+            # teacher surface (internvideo2_teacher.py:575-588): l2 the
+            # middle features, l2 the projector output (no fc_norm), and
+            # return the pooling attention over non-CLS tokens
+            def l2n(t):
+                t = t.astype(jnp.float32)
+                return t / jnp.maximum(
+                    jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
+            final, attn = AttentionPooling(
+                cfg.embed_dim, cfg.attn_pool_num_heads, cfg.clip_embed_dim,
+                qkv_bias=True, dtype=cfg.dtype,
+                name="clip_projector")(tokens, return_attn=True)
+            return l2n(taps), l2n(final), attn[:, 1:]
 
         if n_valid is not None:
             # drop the garbage pad rows before the pooling head (it

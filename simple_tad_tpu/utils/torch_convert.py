@@ -386,6 +386,65 @@ def torch_to_iv2_params(sd: Mapping[str, np.ndarray], *, depth: int
     return params
 
 
+def _convert_feature_decoder(sd: Mapping[str, np.ndarray],
+                             prefix: str) -> Dict[str, Any]:
+    """Linear_Decoder / MLP_Decoder (internvideo2_distill.py:334-397) ->
+    models/iv2_distill.py FeatureDecoder.  The MLP variant's Sequential
+    indices (head.0 Linear, head.2 Linear) map to fc1/fc2."""
+    out: Dict[str, Any] = {
+        "norm": {"scale": sd[f"{prefix}norm.weight"],
+                 "bias": sd[f"{prefix}norm.bias"]}}
+    if f"{prefix}head.weight" in sd:            # Linear_Decoder
+        out["head"] = {"kernel": _t(sd[f"{prefix}head.weight"]),
+                       "bias": sd[f"{prefix}head.bias"]}
+    else:                                       # MLP_Decoder
+        out["fc1"] = {"kernel": _t(sd[f"{prefix}head.0.weight"]),
+                      "bias": sd[f"{prefix}head.0.bias"]}
+        out["fc2"] = {"kernel": _t(sd[f"{prefix}head.2.weight"]),
+                      "bias": sd[f"{prefix}head.2.bias"]}
+    return out
+
+
+def torch_to_distill_iv2_params(sd: Mapping[str, np.ndarray], *,
+                                depth: int, clip_return_layer: int
+                                ) -> Dict[str, Any]:
+    """Torch state dict -> flax params for DistillInternVideo2
+    (internvideo2_distill.py DistInternVideo2: masked stage-2 student with
+    K tap decoders, clip_pos_embed, attention-pooled final decoder)."""
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv3d_to_patch_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"]},
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "clip_pos_embed": sd["clip_pos_embed"],
+        "blocks": _convert_iv2_block_stack(sd, "blocks.", depth),
+        "clip_projector": {
+            "norm_q": {"scale": sd["clip_projector.norm1_q.weight"],
+                       "bias": sd["clip_projector.norm1_q.bias"]},
+            "norm_k": {"scale": sd["clip_projector.norm1_k.weight"],
+                       "bias": sd["clip_projector.norm1_k.bias"]},
+            "norm_v": {"scale": sd["clip_projector.norm1_v.weight"],
+                       "bias": sd["clip_projector.norm1_v.bias"]},
+            "q_kernel": _t(sd["clip_projector.cross_attn.q.weight"]),
+            "k_kernel": _t(sd["clip_projector.cross_attn.k.weight"]),
+            "v_kernel": _t(sd["clip_projector.cross_attn.v.weight"]),
+            "q_bias": sd["clip_projector.cross_attn.q_bias"],
+            "k_bias": sd["clip_projector.cross_attn.k_bias"],
+            "v_bias": sd["clip_projector.cross_attn.v_bias"],
+            "proj": {"kernel": _t(sd["clip_projector.cross_attn.proj.weight"]),
+                     "bias": sd["clip_projector.cross_attn.proj.bias"]},
+        },
+    }
+    for k in range(clip_return_layer):
+        params[f"clip_decoder_{k}"] = _convert_feature_decoder(
+            sd, f"clip_decoder.{k}.")
+    if "final_clip_decoder.norm.weight" in sd:
+        params["final_clip_decoder"] = _convert_feature_decoder(
+            sd, "final_clip_decoder.")
+    return params
+
+
 def torch_to_iv2_mae_params(sd: Mapping[str, np.ndarray], *,
                             encoder_depth: int, decoder_depth: int,
                             encoder_dim: Optional[int] = None
