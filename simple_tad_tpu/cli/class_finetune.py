@@ -37,6 +37,11 @@ def get_args(argv=None):
     p.add_argument("--short_side_size", type=int, default=256)
     p.add_argument("--sparse_sampling", action="store_true",
                    help="SSV2-style TSN segment sampling")
+    p.add_argument("--data_set", default="Kinetics",
+                   help="dataset family (run_linear_probing.py:188-193): "
+                        "Kinetics/SSV2-style CSV (default), ANet/HACS "
+                        "(interval reader), HMDB51 (video TSN), "
+                        "HMDB51_rawframe (frame folders)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--warmup_epochs", type=int, default=5)
@@ -90,7 +95,7 @@ def main(argv=None):
     enable_persistent_cache()
 
     import simple_tad_tpu as st
-    from simple_tad_tpu.data.video_cls_datasets import (VideoClsDataset,
+    from simple_tad_tpu.data.video_cls_datasets import (build_cls_dataset,
                                                         merge_test_views)
     from simple_tad_tpu.ops.augment import (IMAGENET_MEAN, IMAGENET_STD,
                                             mixup_cutmix, random_hflip,
@@ -157,7 +162,8 @@ def main(argv=None):
     criterion = lambda lg, lb, sm, ttc: L.cross_entropy(lg, sm)  # noqa: E731
 
     if args.eval:
-        test_ds = VideoClsDataset(
+        test_ds = build_cls_dataset(
+            args.data_set,
             args.anno_test or args.anno_val, args.data_path, mode="test",
             clip_len=args.num_frames, frame_sample_rate=args.sampling_rate,
             crop_size=args.input_size, short_side_size=args.short_side_size,
@@ -183,7 +189,8 @@ def main(argv=None):
               f"({len(set(vids))} videos, {len(vids)} views)")
         return top1, top5
 
-    train_ds = VideoClsDataset(
+    train_ds = build_cls_dataset(
+        args.data_set,
         args.anno_train, args.data_path, mode="train",
         clip_len=args.num_frames, frame_sample_rate=args.sampling_rate,
         crop_size=args.input_size, short_side_size=args.short_side_size,

