@@ -259,6 +259,13 @@ def bench_mae_step(batch=48, rng=None, mask_ratio=0.75):
     return round(batch / dt, 1), round(dt * 1e3, 1)
 
 
+def _note(key, val):
+    """Progress line to stderr: a TPU fault mid-run (CLAUDE.md trap #7)
+    must not lose the rows already measured."""
+    import sys
+    print(f"# {key} = {val}", file=sys.stderr, flush=True)
+
+
 def main():
     from simple_tad_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -266,7 +273,9 @@ def main():
 
     vitb_int8 = bench_model("vit_base_patch16_224", (48, 96, 192), True,
                             rng, stream_latency=True)
+    _note("vitb_int8", vitb_int8)
     vitb_bf16 = bench_model("vit_base_patch16_224", (96,), False, rng)
+    _note("vitb_bf16", vitb_bf16)
     # same-session drift anchor (VERDICT r4 weak #5): cross-session drift
     # at large program sizes is 10-15%, so IV2 rows are reported alongside
     # their ratio to this fixed bf16 config measured in the SAME session
@@ -286,19 +295,23 @@ def main():
             small["iv2_b_int8_clips_per_sec_b48"] / anchor, 4)
         small["iv2_1b_per_anchor"] = round(
             small["iv2_1b_int8_clips_per_sec_b16"] / anchor, 4)
+        _note("serving", small)
         for nm, bsz, key in (("vit_base_patch16_224", 24, "vitb_b24"),
                              ("vit_small_patch16_224", 24, "vits_b24"),
                              ("vit_large_patch16_224", 12, "vitl_b12")):
             tr_cps, tr_ms = bench_train_step(bsz, rng, nm)
             small[f"train_{key}_clips_per_sec"] = tr_cps
             small[f"train_{key}_step_ms"] = tr_ms
-        mae_cps, mae_ms = bench_mae_step(48, rng)
-        small["mae_b48_clips_per_sec"] = mae_cps
+            _note(f"train_{key}", (tr_cps, tr_ms))
+        mae_cps, mae_ms = bench_mae_step(24, rng)
+        small["mae_b24_clips_per_sec"] = mae_cps
         small["mae_b_step_ms"] = mae_ms
+        _note("mae_b24", (mae_cps, mae_ms))
         iv2tr_cps, iv2tr_ms = bench_train_step(
             8, rng, "internvideo2_base_patch14_224", num_frames=8)
         small["train_iv2b_b8_clips_per_sec"] = iv2tr_cps
         small["train_iv2b_b8_step_ms"] = iv2tr_ms
+        _note("train_iv2b_b8", (iv2tr_cps, iv2tr_ms))
 
     sweep = {k: v for k, v in vitb_int8.items() if k.isdigit()}
     best_batch, best = max(sweep.items(), key=lambda kv: kv[1])

@@ -44,13 +44,15 @@ def _win_idx(batch, frames=256):
 
 
 def _time(fn, p, bufs, idx, reps=3, per_rep=8):
-    fn(p, bufs[-1], idx).block_until_ready()
+    # trap #8: warm-up and every chunk end in a result FETCH — through the
+    # relay block_until_ready returns early while a compile is in flight
+    np.asarray(fn(p, bufs[-1], idx))
     best = 1e9
     for rep in range(reps):
         chunk = bufs[rep * per_rep:(rep + 1) * per_rep]
         t0 = time.perf_counter()
         outs = [fn(p, b, idx) for b in chunk]
-        jax.block_until_ready(outs)
+        np.asarray(outs[-1])
         best = min(best, (time.perf_counter() - t0) / len(chunk))
     return best
 

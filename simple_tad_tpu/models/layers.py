@@ -151,14 +151,23 @@ class LayerNormQuant(nn.Module):
     mode: str = "static"     # static | calib
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         if self.mode == "static":
-            from simple_tad_tpu.ops.ln import fused_layernorm_quant
+            from simple_tad_tpu.ops.ln import (fused_add_layernorm_quant,
+                                               fused_layernorm_quant)
             amax = self.param("act_amax", nn.initializers.ones, ())
+            if residual is not None:
+                # deferred-residual serving path (Block SIMPLE_TAD_ADD_LNQ):
+                # x is the branch output, residual the stream — one kernel
+                # returns (residual + x, int8) saving the sum's HBM re-read
+                return fused_add_layernorm_quant(x, residual, scale, bias,
+                                                 amax, eps=self.eps)
             return fused_layernorm_quant(x, scale, bias, amax,
                                          eps=self.eps)
+        if residual is not None:
+            x = residual + x
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -168,6 +177,8 @@ class LayerNormQuant(nn.Module):
         self.sow("calib", "amax",
                  jnp.max(jnp.abs(y.astype(jnp.float32))),
                  reduce_fn=jnp.maximum, init_fn=lambda: jnp.zeros(()))
+        if residual is not None:
+            return x, y
         return y
 
 
@@ -524,6 +535,38 @@ class Block(nn.Module):
                                       mode=self.quant_mode, name=name)
             return LayerNormFp32(self.dim, self.norm_eps, self.dtype,
                                  name=name)
+
+        if isinstance(x, tuple):
+            # Deferred-residual serving carry (SIMPLE_TAD_ADD_LNQ, wired by
+            # VisionTransformer._blocks): carry = (stream, pending branch);
+            # each residual add runs inside the next LNQ kernel's read
+            # (ops/ln.py fused_add_layernorm_quant) instead of as its own
+            # XLA pass whose bf16 sum the opaque LNQ kernel re-reads.
+            assert deterministic and lnq and self.quant_mode == "static"
+            stream, pending = x
+            x0, q1 = norm("norm1")(pending, residual=stream)
+            a = Attention(
+                dim=self.dim, num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                attn_drop=self.attn_drop, proj_drop=self.drop,
+                attn_head_dim=self.attn_head_dim, attn_impl=self.attn_impl,
+                quant=self.quant, quant_mode=self.quant_mode,
+                dtype=self.dtype, name="attn")(q1, deterministic=True)
+            if self.init_values > 0:
+                gamma_1 = self.param(
+                    "gamma_1", nn.initializers.constant(self.init_values),
+                    (self.dim,))
+                a = a * gamma_1.astype(self.dtype)
+            x1, q2 = norm("norm2")(a, residual=x0)
+            m = Mlp(self.dim, int(self.dim * self.mlp_ratio), drop=self.drop,
+                    quant=self.quant, quant_mode=self.quant_mode,
+                    dtype=self.dtype, name="mlp")(q2, deterministic=True)
+            if self.init_values > 0:
+                gamma_2 = self.param(
+                    "gamma_2", nn.initializers.constant(self.init_values),
+                    (self.dim,))
+                m = m * gamma_2.astype(self.dtype)
+            return (x1, m)
 
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,

@@ -101,6 +101,18 @@ class VisionTransformer(nn.Module):
                 variable_axes={"params": 0, "calib": 0},
                 split_rngs={"params": True, "dropout": True, "droppath": True},
                 in_axes=0, length=cfg.depth)
+            import os
+            from simple_tad_tpu.ops.ln import supports_fused_ln_quant
+            if (cfg.quant and cfg.quant_mode == "static" and deterministic
+                    and supports_fused_ln_quant(cfg.embed_dim)
+                    and os.environ.get("SIMPLE_TAD_ADD_LNQ")):
+                # deferred-residual carry (Block docstring): each block
+                # returns (stream, un-added branch); the add runs inside
+                # the NEXT block's norm1 LNQ kernel.  First block enters
+                # with a zero pending branch; the last pending add folds
+                # into the final pooling read here.
+                (xs, pend), _ = scan(block, (x, jnp.zeros_like(x)), dpr)
+                return xs + pend
             x, _ = scan(block, x, dpr)
             return x
         # Unrolled fallback (same stacked param layout is NOT kept here;

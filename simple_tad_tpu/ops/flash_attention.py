@@ -418,13 +418,22 @@ def _pad_rows_qk(n: int, C: int, D: int, block_q: int):
 
 
 
+def _strip_budget() -> int:
+    """fp32 score-strip scoped-VMEM cap (bytes).  10.5M is the measured
+    v5e envelope at the round-3 tile set; SIMPLE_TAD_ATTN_STRIP_BUDGET
+    overrides for sweeps (the round-4 int8 output tiles freed scoped
+    VMEM, so larger strips may compile — VERDICT r4 #6)."""
+    v = os.environ.get("SIMPLE_TAD_ATTN_STRIP_BUDGET", "")
+    return int(v) if v.isdigit() else 10_500_000
+
+
 def _full_seq_block(Np: int, block_q: int) -> bool:
     """Use the whole sequence as one query block?  The fp32 score strip
     is the scoped-VMEM liveness driver (Mosaic reuses it for the probs);
     1568^2 fp32 = 9.8M compiles on v5e with both int8 and bf16 output
     tiles.  Measured b96: q8 543.6 vs 515.4 (bq 784); bf16 387.6 vs
     372.1; ViT-S bf16 1086.6 vs 982.6."""
-    return block_q <= 0 and Np * Np * 4 <= 10_500_000
+    return block_q <= 0 and Np * Np * 4 <= _strip_budget()
 
 
 def _kv_grid_plan(N: int, block_q: int):
@@ -455,7 +464,7 @@ def _kv_grid_plan(N: int, block_q: int):
         return Nq, bk * n_kv, bk, n_kv
     if _full_seq_block(Nq, block_q):
         return None               # one single-pass block needs no grid
-    budget = 10_500_000           # same strip cap as _full_seq_block
+    budget = _strip_budget()      # same strip cap as _full_seq_block
     for n_kv in range(2, 9):
         bk = _ceil_to(-(-Nq // n_kv), 8)
         if bk >= 128 and Nq * bk * 4 <= budget:

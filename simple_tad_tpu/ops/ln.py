@@ -88,6 +88,70 @@ def fused_layernorm_quant(x, scale, bias, amax, *, eps: float = 1e-6):
     return out.reshape(orig_shape[:-1] + (C,))
 
 
+def _add_ln_quant_kernel(inv_ref, a_ref, r_ref, s_ref, b_ref, sum_ref,
+                         o_ref, *, eps):
+    s = (a_ref[...].astype(jnp.float32) + r_ref[...].astype(jnp.float32))
+    s = s.astype(sum_ref.dtype)
+    sum_ref[...] = s
+    x = s.astype(jnp.float32)           # stats on the STORED value: the
+    mean = jnp.mean(x, axis=-1, keepdims=True)   # unfused path LNs the
+    xc = x - mean                                # bf16 residual stream,
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)  # so round-trip first
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = jnp.clip(jnp.round(y * inv_ref[0, 0]),
+                          -127, 127).astype(jnp.int8)
+
+
+def fused_add_layernorm_quant(branch, residual, scale, bias, amax, *,
+                              eps: float = 1e-6):
+    """Residual add + LayerNorm + static int8 quantize in ONE kernel.
+
+    Returns ``(residual + branch, int8(LN(residual + branch)))``.  The
+    serving block chain otherwise runs the add as its own XLA pass whose
+    bf16 sum the (opaque) LNQ kernel then re-reads from HBM — fusing the
+    add into the LNQ read saves one full activation read per residual
+    site (2 per block).  Bit-compatible with ``x + branch`` followed by
+    :func:`fused_layernorm_quant`: the sum is rounded to the storage
+    dtype BEFORE the fp32 statistics, exactly like the unfused path.
+    """
+    assert branch.shape == residual.shape
+    orig_shape = branch.shape
+    C = orig_shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    a2 = branch.reshape(rows, C)
+    r2 = residual.reshape(rows, C)
+    pad = (-rows) % 8
+    if pad:
+        a2 = jnp.pad(a2, ((0, pad), (0, 0)))
+        r2 = jnp.pad(r2, ((0, pad), (0, 0)))
+    rp = rows + pad
+    br = _pick_rows(rp)
+    from jax.experimental.pallas import tpu as pltpu
+    inv = (127.0 / jnp.maximum(jnp.asarray(amax, jnp.float32),
+                               1e-12)).reshape(1, 1)
+    ssum, out = pl.pallas_call(
+        functools.partial(_add_ln_quant_kernel, eps=eps),
+        grid=(rp // br,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, C), lambda i: (i, 0)),
+            pl.BlockSpec((br, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((br, C), lambda i: (i, 0)),
+                   pl.BlockSpec((br, C), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rp, C), branch.dtype),
+                   jax.ShapeDtypeStruct((rp, C), jnp.int8)],
+    )(inv, a2, r2, scale.reshape(1, C), bias.reshape(1, C))
+    if pad:
+        ssum, out = ssum[:rows], out[:rows]
+    return (ssum.reshape(orig_shape), out.reshape(orig_shape))
+
+
 def _rms_quant_kernel(x_ref, s_ref, inv_ref, o_ref, *, eps):
     x = x_ref[...].astype(jnp.float32)
     var = jnp.mean(x * x, axis=-1, keepdims=True)

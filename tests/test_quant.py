@@ -310,6 +310,31 @@ def test_static_quant_int8_attn_out_epilogue(monkeypatch):
     assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.75
 
 
+def test_static_quant_deferred_add_lnq_exact(monkeypatch):
+    """SIMPLE_TAD_ADD_LNQ (deferred-residual carry: the residual add runs
+    inside the next LNQ kernel, ops/ln.py fused_add_layernorm_quant) is
+    BIT-IDENTICAL to the plain add + LNQ serving chain — the kernel rounds
+    the fp32 sum to the storage dtype before the statistics, exactly like
+    the standalone add pass."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simple_tad_tpu.ops.quant import quantize_and_calibrate
+
+    cfg = ViTConfig(img_size=32, all_frames=4, embed_dim=128, depth=2,
+                    num_heads=2, num_classes=2, quant=False)
+    fp = VisionTransformer(cfg)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 32, 32, 3))
+
+    monkeypatch.setenv("SIMPLE_TAD_FUSED_LNQ", "force")
+    qmodel, qparams = quantize_and_calibrate(fp, params, [x])
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(qmodel.apply({"params": qparams}, x))
+        monkeypatch.setenv("SIMPLE_TAD_ADD_LNQ", "1")
+        got = np.asarray(qmodel.apply({"params": qparams}, x))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_static_quant_i8_storage_attention_drift(monkeypatch):
     """The full int8 serving program with int8-STORAGE attention (forced on
     via env; CPU runs the kernel in interpret mode) tracks bf16 logits —
