@@ -113,6 +113,18 @@ def main():
         return out
 
     @jax.jit
+    def stream_i8(s, a):
+        # best case for "int8 residual storage" (ROUND4_NOTES parked idea
+        # b): the dependent stream crossing HBM at HALF the bytes.  If
+        # this does not come in near 2x faster than the bf16 stream, the
+        # chain is latency-bound and int8 storage cannot pay.
+        def body(carry, _):
+            return _pallas_copy(carry), None
+        out, _ = jax.lax.scan(body, s.astype(jnp.int8), None,
+                              length=K_SITES)
+        return out
+
+    @jax.jit
     def add_lnq(s, a):
         def body(carry, i):
             st, acc = carry
@@ -142,13 +154,14 @@ def main():
     tq = tens / 2                      # int8 pass
     per_site = {
         "stream": 2 * tens,                       # read s + write s
+        "stream_i8": 2 * tq,                      # same at half the bytes
         "add_lnq": 4 * tens + 2 * tq,             # a, s, write s, re-read s
                                                   # + write q + re-read q
         "fused": 3 * tens + 2 * tq,               # a, s, write s
     }
     args_list = [(s, astack) for s in svals]
-    for name, fn in (("stream", stream), ("add_lnq", add_lnq),
-                     ("fused", fused)):
+    for name, fn in (("stream", stream), ("stream_i8", stream_i8),
+                     ("add_lnq", add_lnq), ("fused", fused)):
         dt = _time(fn, args_list)
         site_ms = dt * 1e3 / K_SITES
         gb = per_site[name]

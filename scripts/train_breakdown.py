@@ -121,13 +121,16 @@ def _build_mae_step(batch_size, mask_ratio, rng):
 
 
 def _time_steps(step, state, batches, warmup=2, reps=8):
+    # trap #8: a result FETCH (np.asarray), not block_until_ready, is what
+    # synchronizes through the relay; state.step is a scalar so the fetch
+    # itself is free
     for i in range(warmup):
         state, _ = step(state, batches[i % len(batches)])
-    jax.block_until_ready(state.params)
+    np.asarray(state.step)
     t0 = time.perf_counter()
     for i in range(reps):
         state, _ = step(state, batches[i % len(batches)])
-    jax.block_until_ready(state.params)
+    np.asarray(state.step)
     return (time.perf_counter() - t0) / reps
 
 
@@ -157,8 +160,19 @@ def main():
             os.environ["SIMPLE_TAD_ABLATE_MLP"] = "1"
 
         b = args.batch
-        if variant in ("mae", "mae90"):
-            b = 48
+        if variant.startswith("mae"):
+            # mae / mae90 / mae_no_attn / mae_no_mlp / mae_no_ln — the MAE
+            # encoder+decoder share Block, so the same ablation knobs
+            # price attention/MLP across BOTH stacks at the masked
+            # geometry (VERDICT r4 #2 attribution)
+            if variant.endswith("_no_attn"):
+                os.environ["SIMPLE_TAD_ABLATE_ATTN"] = "1"
+            elif variant.endswith("_no_mlp"):
+                os.environ["SIMPLE_TAD_ABLATE_MLP"] = "1"
+            elif variant.endswith("_no_ln"):
+                os.environ["SIMPLE_TAD_ABLATE_LN"] = "1"
+            b = args.batch      # b24 = the bench.py mae row geometry;
+                                # b48 crashed the TPU worker (r5)
             ratio = 0.9 if variant == "mae90" else 0.75
             step, state, bts = _build_mae_step(b, ratio, rng)
             dt = _time_steps(step, state, bts)
