@@ -307,6 +307,12 @@ def main():
         small["mae_b24_clips_per_sec"] = mae_cps
         small["mae_b_step_ms"] = mae_ms
         _note("mae_b24", (mae_cps, mae_ms))
+        # mask 0.9 = the K700 pretrain recipe (jobs/dapt/pretrain_k700.sh);
+        # 0.75 above is the BDD+CAP DAPT shape — both driver-captured
+        mae9_cps, mae9_ms = bench_mae_step(24, rng, mask_ratio=0.90)
+        small["mae90_b24_clips_per_sec"] = mae9_cps
+        small["mae90_b_step_ms"] = mae9_ms
+        _note("mae90_b24", (mae9_cps, mae9_ms))
         iv2tr_cps, iv2tr_ms = bench_train_step(
             8, rng, "internvideo2_base_patch14_224", num_frames=8)
         small["train_iv2b_b8_clips_per_sec"] = iv2tr_cps
