@@ -440,6 +440,30 @@ def test_kv_grid_plan_geometry():
     assert _kv_grid_plan(2049, 784) is None     # explicit block_q wins
 
 
+def test_strip_budget_env_override(monkeypatch):
+    """SIMPLE_TAD_ATTN_STRIP_BUDGET (r5 sweep knob) rescales both the
+    full-sequence gate and the key-grid plan.  Pins the measured r5
+    facts: at the IV2 serving length the DEFAULT budget already yields
+    the minimal 2-strip plan (so 11.5 MB is a no-op), and a large
+    budget flips to the full-sequence block."""
+    from simple_tad_tpu.ops.flash_attention import (_full_seq_block,
+                                                    _kv_grid_plan)
+    monkeypatch.delenv("SIMPLE_TAD_ATTN_STRIP_BUDGET", raising=False)
+    assert _kv_grid_plan(2049, 0)[3] == 2           # minimal key grid
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_STRIP_BUDGET", "11500000")
+    assert _kv_grid_plan(2049, 0)[3] == 2           # same plan: no-op point
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_STRIP_BUDGET", "21500000")
+    assert _kv_grid_plan(2049, 0) is None           # full-seq block wins
+    assert _full_seq_block(2056, 0)
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_STRIP_BUDGET", "4000000")
+    plan = _kv_grid_plan(1568, 0)                   # shrunk budget forces
+    assert plan is not None and plan[3] == 3        # a grid even for ViT
+    assert not _full_seq_block(1568, 0)
+    monkeypatch.setenv("SIMPLE_TAD_ATTN_STRIP_BUDGET", "1000000")
+    assert _kv_grid_plan(1568, 0) is None           # too small for any
+    assert not _full_seq_block(1568, 0)             # grid: block fallback
+
+
 @pytest.mark.parametrize("n_kv", [2, 3])
 def test_kv_grid_forward_matches_naive(monkeypatch, n_kv):
     """Forced key-grid kernel == naive attention, with key padding that
