@@ -117,7 +117,7 @@ def _build_mae_step(batch_size, mask_ratio, rng):
                 * 0.5, dtype=jnp.bfloat16),
             "mask": jnp.asarray(masks),
         })
-    return step, state, batches
+    return step, state, batches, model, num_masked
 
 
 def _time_steps(step, state, batches, warmup=2, reps=8):
@@ -174,8 +174,82 @@ def main():
             b = args.batch      # b24 = the bench.py mae row geometry;
                                 # b48 crashed the TPU worker (r5)
             ratio = 0.9 if variant == "mae90" else 0.75
-            step, state, bts = _build_mae_step(b, ratio, rng)
-            dt = _time_steps(step, state, bts)
+            step, state, bts, mmodel, n_masked = _build_mae_step(
+                b, ratio, rng)
+            if variant == "mae_fwd":
+                # forward + target construction + loss only: full minus
+                # this = backward + optimizer
+                from simple_tad_tpu.models.mae import mae_targets
+                from simple_tad_tpu.ops.image import (IMAGENET_MEAN,
+                                                      IMAGENET_STD)
+                mean = jnp.asarray(IMAGENET_MEAN)
+                std = jnp.asarray(IMAGENET_STD)
+                cfgm = mmodel.cfg
+
+                @jax.jit
+                def fwd(params, batch, rngs):
+                    unnorm = batch["video"].astype(jnp.float32) * std + mean
+                    tgt = mae_targets(unnorm, batch["mask"], n_masked,
+                                      patch_size=cfgm.patch_size,
+                                      tubelet_size=cfgm.tubelet_size)
+                    pred = mmodel.apply(
+                        {"params": params}, batch["video"], batch["mask"],
+                        n_masked, deterministic=False, rngs=rngs)
+                    return jnp.mean(jnp.square(pred - tgt))
+                rngs = {"dropout": jax.random.PRNGKey(2),
+                        "droppath": jax.random.PRNGKey(3)}
+                np.asarray(fwd(state.params, bts[0], rngs))
+                t0 = time.perf_counter()
+                outs = [fwd(state.params, bb, rngs) for bb in bts * 2]
+                np.asarray(outs[-1])
+                dt = (time.perf_counter() - t0) / (len(bts) * 2)
+            elif variant == "mae_pretgt":
+                # targets precomputed OUTSIDE the timed step: full minus
+                # this = the unnorm+patchify+per-patch-norm target pass
+                from simple_tad_tpu.models.mae import mae_targets
+                from simple_tad_tpu.ops.image import (IMAGENET_MEAN,
+                                                      IMAGENET_STD)
+                mean = jnp.asarray(IMAGENET_MEAN)
+                std = jnp.asarray(IMAGENET_STD)
+                cfgm = mmodel.cfg
+                mk_tgt = jax.jit(lambda v, m: mae_targets(
+                    v.astype(jnp.float32) * std + mean, m, n_masked,
+                    patch_size=cfgm.patch_size,
+                    tubelet_size=cfgm.tubelet_size))
+                for bb in bts:
+                    bb["targets"] = mk_tgt(bb["video"], bb["mask"])
+                jax.block_until_ready([bb["targets"] for bb in bts])
+                import optax as _ox
+                from simple_tad_tpu.train import optim as O
+                # same optimizer construction as _build_mae_step; the
+                # only difference from the full step is the loss reading
+                # batch["targets"] instead of building them in-step
+                sched = O.cosine_scheduler(3e-4, 3e-5, epochs=12,
+                                           niter_per_ep=100,
+                                           warmup_epochs=1)
+                tx2 = O.create_optimizer(
+                    state.params, lr_schedule=O.array_schedule(sched),
+                    weight_decay=0.05, betas=(0.9, 0.95), clip_grad=0.0)
+
+                def step2(state, batch):
+                    rng, d_rng, p_rng = jax.random.split(state.rng, 3)
+
+                    def loss_fn(params):
+                        pred = mmodel.apply(
+                            {"params": params}, batch["video"],
+                            batch["mask"], n_masked, deterministic=False,
+                            rngs={"dropout": d_rng, "droppath": p_rng})
+                        return jnp.mean(jnp.square(pred - batch["targets"]))
+                    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                    updates, opt_state = tx2.update(grads, state.opt_state,
+                                                    state.params)
+                    params = _ox.apply_updates(state.params, updates)
+                    return state.replace(step=state.step + 1, params=params,
+                                         opt_state=opt_state, rng=rng), loss
+                jstep = jax.jit(step2, donate_argnums=(0,))
+                dt = _time_steps(jstep, state, bts)
+            else:
+                dt = _time_steps(step, state, bts)
         elif variant == "noremat":
             b = args.noremat_batch
             bts = _batches(rng, 4, b)

@@ -407,6 +407,45 @@ class PretrainIV2VideoMAE(nn.Module):
         return pred
 
 
+def mae_targets_fused(video, mask, num_masked: int, *, mean, std,
+                      patch_size: int = 16, tubelet_size: int = 2,
+                      normalize_target: bool = True):
+    """Bit-identical restructuring of un-normalize + :func:`mae_targets`
+    that the train step uses (r5 measured: the original order costs 25
+    ms/step at MAE-B b24 — 20% of the whole step — because the fp32
+    un-normalized video is materialized and then 8-D-transposed at 173
+    MB).  Three order swaps, none changing any element's value or any
+    reduction's operand set:
+
+      1. the patchify reshape+transpose runs on the BF16 video (half the
+         layout-move bytes) — a transpose does not change values;
+      2. the masked-token gather runs BEFORE the fp32 math (only ~75%
+         of tokens survive at mask 0.75);
+      3. ``x*std + mean`` upcasts per element AFTER the gather — the
+         same fp32 op on the same bf16 element values, and the
+         per-patch mean/var reduce over exactly the same elements in
+         the same axis order.
+
+    video: (B, T, H, W, C) ImageNet-NORMALIZED (the train batch as-is);
+    mean/std: (C,) de-normalization constants.
+    """
+    B, T, H, W, C = video.shape
+    p, tb = patch_size, tubelet_size
+    nt, nh, nw = T // tb, H // p, W // p
+    v = video.reshape(B, nt, tb, nh, p, nw, p, C)
+    v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    v = v.reshape(B, nt * nh * nw, tb * p * p, C)
+    _, mask_idx = mask_partition(mask, num_masked)
+    v = jnp.take_along_axis(v, mask_idx[:, :, None, None], axis=1)
+    v = v.astype(jnp.float32) * std + mean
+    if normalize_target:
+        mu = jnp.mean(v, axis=2, keepdims=True)
+        n = v.shape[2]
+        var = jnp.sum(jnp.square(v - mu), axis=2, keepdims=True) / (n - 1)
+        v = (v - mu) / (jnp.sqrt(var) + 1e-6)
+    return v.reshape(B, num_masked, tb * p * p * C)
+
+
 def mae_targets(unnorm_video, mask, num_masked: int, *, patch_size: int = 16,
                 tubelet_size: int = 2, normalize_target: bool = True):
     """Per-patch(-normalized) pixel targets for the masked tokens.

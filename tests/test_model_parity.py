@@ -153,6 +153,35 @@ def test_mae_targets_match_torch_rearrange():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_mae_targets_fused_matches_naive_order():
+    """The r5 fused target path (bf16 patchify -> masked gather -> fp32
+    unnorm+normalize, models/mae.py:mae_targets_fused) must reproduce
+    the train step's original order (fp32 unnorm of the FULL video ->
+    mae_targets) bitwise: every swapped op pair touches the same element
+    values and reduces over the same operand sets."""
+    from simple_tad_tpu.models.mae import mae_targets_fused
+    from simple_tad_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+    rng = np.random.default_rng(7)
+    video = jnp.asarray(
+        rng.normal(size=(2, 4, 32, 32, 3)).astype(np.float32) * 0.5,
+        dtype=jnp.bfloat16)
+    n = (4 // 2) * (32 // 16) ** 2
+    mask_np = np.zeros((2, n), bool)
+    for r in range(2):
+        mask_np[r, rng.permutation(n)[: n * 3 // 4]] = True
+    mask = jnp.asarray(mask_np)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    for normalize in (True, False):
+        unnorm = video.astype(jnp.float32) * std + mean
+        want = np.asarray(mae_targets(unnorm, mask, n * 3 // 4,
+                                      normalize_target=normalize))
+        got = np.asarray(mae_targets_fused(video, mask, n * 3 // 4,
+                                           mean=mean, std=std,
+                                           normalize_target=normalize))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_registry_names_and_shapes():
     m = create_model("vit_small_patch16_224", num_classes=2)
     assert m.cfg.embed_dim == 384 and m.cfg.depth == 12 and m.cfg.num_heads == 6
