@@ -216,25 +216,28 @@ def bench_train_step(batch=24, rng=None, model_name="vit_base_patch16_224",
     return round(batch / dt, 1), round(dt * 1e3, 1)
 
 
-def bench_mae_step(batch=48, rng=None, mask_ratio=0.75):
-    """DAPT/MAE-B pretrain step (the jobs/dapt/pretrain_capdata.sh recipe
-    shape: MAE-B, 16 frames, tube mask 0.75 -> 392 visible encoder tokens,
-    1568-token decoder), clips/s.  VERDICT r4 #2: the paper's core
-    workload had no measured training throughput.  Reference:
-    engine_for_pretraining.py:155-221."""
+def bench_mae_step(batch=48, rng=None, mask_ratio=0.75,
+                   model_name="pretrain_videomae_base_patch16_224"):
+    """DAPT/MAE pretrain step (default: the jobs/dapt/pretrain_capdata.sh
+    recipe shape — MAE-B, 16 frames, tube mask 0.75 -> 392 visible encoder
+    tokens, 1568-token decoder), clips/s.  VERDICT r4 #2: the paper's core
+    workload had no measured training throughput.  model_name also accepts
+    the IV2 DAPT trunks (pretrain_videomae_internvideo2_*: 8-frame
+    tubelet-1 patch-14, iv2_run_mae_double_pretraining.py recipe).
+    Reference: engine_for_pretraining.py:155-221."""
     import simple_tad_tpu as st
     from simple_tad_tpu.train import optim as O
     from simple_tad_tpu.train.steps import TrainState, make_mae_train_step
 
-    model = st.create_model("pretrain_videomae_base_patch16_224",
-                            dtype=jnp.bfloat16, attn_impl="auto",
-                            remat=True)
+    model = st.create_model(model_name, dtype=jnp.bfloat16,
+                            attn_impl="auto", remat=True)
     n_tok = model.cfg.num_patches
+    frames = model.cfg.all_frames
     num_masked = int(mask_ratio * n_tok)
     dummy_mask = np.zeros((1, n_tok), bool)
     dummy_mask[:, :num_masked] = True
     params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 16, 224, 224, 3), jnp.bfloat16),
+                        jnp.zeros((1, frames, 224, 224, 3), jnp.bfloat16),
                         jnp.asarray(dummy_mask), num_masked)["params"]
     sched = O.cosine_scheduler(3e-4, 3e-5, epochs=12, niter_per_ep=100,
                                warmup_epochs=1)
@@ -251,7 +254,7 @@ def bench_mae_step(batch=48, rng=None, mask_ratio=0.75):
             masks[r, rng.permutation(n_tok)[:num_masked]] = True
         batches.append({
             "video": jnp.asarray(rng.normal(
-                size=(batch, 16, 224, 224, 3)).astype(np.float32) * 0.5,
+                size=(batch, frames, 224, 224, 3)).astype(np.float32) * 0.5,
                 dtype=jnp.bfloat16),
             "mask": jnp.asarray(masks),
         })

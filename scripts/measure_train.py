@@ -7,7 +7,8 @@ finetune steps.  Prints one JSON line per row as it lands (a TPU fault
 mid-run must not lose earlier rows — CLAUDE.md trap #7).
 
 Usage: python scripts/measure_train.py [rows...]
-  rows ∈ {mae, mae90, iv2, vits, vitl, vitb} (default: all)
+  rows ∈ {mae, mae90, iv2mae, iv2, vits, vitl, vitb} (default: all
+  but iv2mae)
 """
 
 import json
@@ -32,6 +33,12 @@ def main():
                 cps, ms = bench.bench_mae_step(24, rng)
             elif row == "mae90":
                 cps, ms = bench.bench_mae_step(24, rng, mask_ratio=0.90)
+            elif row == "iv2mae":
+                # the reference's IV2 DAPT recipe geometry (S trunk,
+                # 8-frame tubelet-1 patch-14, mask 0.75 -> 512 visible)
+                cps, ms = bench.bench_mae_step(
+                    24, rng,
+                    model_name="pretrain_videomae_internvideo2_patch14_224")
             elif row == "iv2":
                 cps, ms = bench.bench_train_step(
                     8, rng, "internvideo2_base_patch14_224", num_frames=8)
